@@ -1,0 +1,108 @@
+"""Benchmark: CTC-CRF conformer training throughput (audio-seconds/s/chip).
+
+Run on the available accelerator (one TPU chip under the driver).
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference (thu-spmi/CAT) publishes no throughput numbers
+(SURVEY.md §6); BASELINE.json's north-star is ≥3× the CUDA stack's
+per-chip audio-seconds/s. We anchor vs_baseline to a fixed reference
+estimate REF_AUDIO_S_PER_S for the reference CUDA stack (conformer
+17×512 CTC-CRF, AMP, per high-end GPU) so the ratio is comparable
+across rounds; the absolute value is what the driver records.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+# Estimated reference per-GPU throughput of the CUDA stack on the same
+# model config (see BASELINE.md — must be *measured* on GPU hardware; this
+# constant is the comparison anchor used for vs_baseline).
+REF_AUDIO_S_PER_S = 600.0
+
+# Flagship config: Librispeech crf-v1 (egs/libri/exp/crf-v1/config.json —
+# conformer 17 cells x 512, 8 heads, kernel 32, phone vocab 71+1).
+NUM_CELLS = int(os.environ.get("BENCH_CELLS", "17"))
+HDIM = int(os.environ.get("BENCH_HDIM", "512"))
+VOCAB = 72
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+FRAMES = int(os.environ.get("BENCH_FRAMES", "1600"))  # 16 s utterances
+WARMUP = 2
+STEPS = int(os.environ.get("BENCH_STEPS", "8"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from cat_tpu.ctc.train import build_model, init_state, make_train_step
+    from cat_tpu.fst.graph import DenGraph, build_den_fst
+    from cat_tpu.fst.ngram import train_ngram
+    from cat_tpu.ops.crf import DenDevice
+    from cat_tpu.utils.scheduler import build_scheduler
+
+    model = build_model(
+        {"encoder": {"type": "ConformerNet",
+                     "kwargs": {"num_cells": NUM_CELLS, "hdim": HDIM,
+                                "num_heads": 8, "kernel_size": 32,
+                                "dropout_rate": 0.1}}},
+        num_classes=VOCAB)
+    _, tx = build_scheduler({
+        "type": "SchedulerNoam",
+        "kwargs": {"dim_model": HDIM, "warmup_step": 10000,
+                   "stop_step": 100000, "peak_factor": 5.0},
+        "optimizer": {"type": "Adam",
+                      "kwargs": {"lr": 1e-3, "betas": [0.9, 0.98]}}})
+    state = init_state(model, tx, feat_dim=80)
+
+    # denominator: 3-gram phone LM over the 71-phone vocabulary
+    rng = np.random.default_rng(0)
+    seqs = [list(rng.integers(1, VOCAB, size=int(rng.integers(5, 30))))
+            for _ in range(300)]
+    lm = train_ngram(seqs, order=3)
+    den = DenDevice.from_graph(
+        DenGraph.from_fst(build_den_fst(lm, num_classes=VOCAB)))
+
+    train_step = make_train_step(
+        model, tx, loss_type="crf", den=den, lamb=0.1,
+        specaug_cfg=dict(num_freq_masks=2, freq_mask_width=27,
+                         num_time_masks=2, time_mask_width=100))
+
+    batch = {
+        "feats": jnp.asarray(
+            rng.standard_normal((BATCH, FRAMES, 80)).astype(np.float32)),
+        "feat_lengths": jnp.full((BATCH,), FRAMES, jnp.int32),
+        "labels": jnp.asarray(
+            rng.integers(1, VOCAB, (BATCH, 100)).astype(np.int32)),
+        "label_lengths": jnp.full((BATCH,), 100, jnp.int32),
+        "weight": jnp.ones((BATCH,), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-4)
+    for _ in range(WARMUP):
+        state, metrics = train_step(state, batch, lr, key)
+    jax.block_until_ready(state.params)
+    t0 = time.time()
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = train_step(state, batch, lr, sub)
+    jax.block_until_ready(state.params)
+    dt = time.time() - t0
+    steps_per_s = STEPS / dt
+    audio_s_per_batch = BATCH * FRAMES * 0.01  # 10 ms frame shift
+    value = steps_per_s * audio_s_per_batch
+    print(json.dumps({
+        "metric": "audio_seconds_per_second_per_chip_ctc_crf_train",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / REF_AUDIO_S_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,268 @@
+"""Acoustic encoders (flax.linen), registry-compatible by class name.
+
+Counterparts of /root/reference/cat/shared/encoder.py: AbsEncoder (:32-56,
+optional classifier head), LSTM family (:59-255), ConformerNet (:258-369),
+ConformerLSTM (:372-402), EmbeddingEncoder (:465-495). All encoders take
+(features, lengths) and return (output, out_lengths); when with_head the
+output is logits over num_classes.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from cat_tpu.models.layers import (Conv2dSubsampling, ConformerCell,
+                                   Lookahead, TDNNLayer, TimeReduction,
+                                   VGG2LSubsampling, length_mask)
+
+
+class LSTMStack(nn.Module):
+    """Stack of (bi)LSTM layers with inter-layer dropout."""
+
+    hidden_size: int
+    num_layers: int
+    bidirectional: bool = False
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        for i in range(self.num_layers):
+            fwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+                         name=f"lstm_fwd_{i}")
+            if self.bidirectional:
+                bwd = nn.RNN(nn.OptimizedLSTMCell(self.hidden_size),
+                             reverse=True, keep_order=True,
+                             name=f"lstm_bwd_{i}")
+                hf = fwd(x, seq_lengths=lengths)
+                hb = bwd(x, seq_lengths=lengths)
+                x = jnp.concatenate([hf, hb], axis=-1)
+            else:
+                x = fwd(x, seq_lengths=lengths)
+            if i < self.num_layers - 1 and self.dropout_rate > 0:
+                x = nn.Dropout(self.dropout_rate)(
+                    x, deterministic=deterministic)
+        return x
+
+
+class _HeadMixin:
+    def head(self, h, num_classes, with_head):
+        if with_head and num_classes > 0:
+            return nn.Dense(num_classes, name="classifier")(h)
+        return h
+
+
+class LSTM(nn.Module):
+    """(B)LSTM encoder (encoder.py:59-102)."""
+
+    hdim: int = 512
+    num_layers: int = 3
+    num_classes: int = 0
+    bidirectional: bool = True
+    dropout_rate: float = 0.1
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        h = LSTMStack(self.hdim, self.num_layers, self.bidirectional,
+                      self.dropout_rate)(x, lengths, deterministic)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="classifier")(h)
+        return h, lengths
+
+
+class VGGLSTM(nn.Module):
+    """VGG2L subsampling + BLSTM (encoder.py:105-133)."""
+
+    hdim: int = 320
+    num_layers: int = 3
+    num_classes: int = 0
+    bidirectional: bool = True
+    dropout_rate: float = 0.1
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        h, lengths = VGG2LSubsampling()(x, lengths)
+        h = LSTMStack(self.hdim, self.num_layers, self.bidirectional,
+                      self.dropout_rate)(h, lengths, deterministic)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="classifier")(h)
+        return h, lengths
+
+
+class LSTMrowCONV(nn.Module):
+    """Unidirectional LSTM + lookahead row convolution (encoder.py:136-161)."""
+
+    hdim: int = 512
+    num_layers: int = 3
+    num_classes: int = 0
+    dropout_rate: float = 0.1
+    lookahead_context: int = 5
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        h = LSTMStack(self.hdim, self.num_layers, False,
+                      self.dropout_rate)(x, lengths, deterministic)
+        h = Lookahead(self.lookahead_context)(h)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="classifier")(h)
+        return h, lengths
+
+
+class TDNN_NAS(nn.Module):
+    """NAS-derived TDNN stack (encoder.py:164-200; WSJ 11.9M config)."""
+
+    hdim: int = 640
+    num_classes: int = 0
+    dropout_rate: float = 0.5
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        specs = [(1, 1, 1), (1, 1, 1), (1, 1, 2), (1, 1, 1), (1, 1, 1),
+                 (1, 3, 1), (1, 3, 1)]
+        h = x
+        for i, (hc, dil, stride) in enumerate(specs):
+            h, lengths = TDNNLayer(self.hdim, hc, dil, stride,
+                                   name=f"tdnn_{i}")(h, lengths)
+            h = nn.Dropout(self.dropout_rate)(h,
+                                              deterministic=deterministic)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="classifier")(h)
+        return h, lengths
+
+
+class TDNN_LSTM(nn.Module):
+    """TDNN-LSTM hybrid (encoder.py:203-233)."""
+
+    hdim: int = 512
+    num_lstm_layers: int = 2
+    num_classes: int = 0
+    dropout_rate: float = 0.1
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        h, lengths = TDNNLayer(self.hdim, 2, 1, 1)(x, lengths)
+        h, lengths = TDNNLayer(self.hdim, 2, 1, 3)(h, lengths)
+        h = LSTMStack(self.hdim, self.num_lstm_layers, True,
+                      self.dropout_rate)(h, lengths, deterministic)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="classifier")(h)
+        return h, lengths
+
+
+class BLSTMN(nn.Module):
+    """BLSTM with inter-layer LayerNorm (encoder.py:236-255 uses BN; LN is
+    the mask-exact equivalent here)."""
+
+    hdim: int = 320
+    num_layers: int = 3
+    num_classes: int = 0
+    dropout_rate: float = 0.1
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        h = x
+        for i in range(self.num_layers):
+            h = LSTMStack(self.hdim, 1, True, 0.0,
+                          name=f"blstm_{i}")(h, lengths, deterministic)
+            h = nn.LayerNorm()(h)
+            h = nn.Dropout(self.dropout_rate)(h,
+                                              deterministic=deterministic)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="classifier")(h)
+        return h, lengths
+
+
+class ConformerNet(nn.Module):
+    """Conformer encoder (encoder.py:258-369): conv2d subsampling →
+    linear → N conformer cells (rel-pos MHSA) → optional TimeReduction →
+    optional classifier head."""
+
+    num_cells: int = 17
+    hdim: int = 512
+    num_heads: int = 8
+    kernel_size: int = 32
+    num_classes: int = 0
+    dropout_rate: float = 0.1
+    subsampling: str = "conv2d"  # or "vgg2l"
+    time_reduction_layer: int = -1  # insert TimeReduction after this cell
+    time_reduction_stride: int = 2
+    use_batchnorm: bool = True
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        if self.subsampling == "conv2d":
+            h, lengths = Conv2dSubsampling(self.hdim)(x, lengths)
+        elif self.subsampling == "vgg2l":
+            h, lengths = VGG2LSubsampling()(x, lengths)
+            h = nn.Dense(self.hdim)(h)
+        else:
+            raise ValueError(self.subsampling)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        for i in range(self.num_cells):
+            h = ConformerCell(self.hdim, self.num_heads, self.kernel_size,
+                              4, self.dropout_rate, self.use_batchnorm,
+                              name=f"cell_{i}")(h, lengths, deterministic)
+            if i == self.time_reduction_layer:
+                h, lengths = TimeReduction(self.time_reduction_stride)(
+                    h, lengths)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="classifier")(h)
+        return h, lengths
+
+
+class ConformerLSTM(nn.Module):
+    """Conformer stack + LSTM tail (encoder.py:372-402)."""
+
+    num_cells: int = 8
+    hdim: int = 256
+    num_heads: int = 4
+    kernel_size: int = 32
+    num_lstm_layers: int = 2
+    num_classes: int = 0
+    dropout_rate: float = 0.1
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        h, lengths = Conv2dSubsampling(self.hdim)(x, lengths)
+        for i in range(self.num_cells):
+            h = ConformerCell(self.hdim, self.num_heads, self.kernel_size,
+                              name=f"cell_{i}")(h, lengths, deterministic)
+        h = LSTMStack(self.hdim, self.num_lstm_layers, False,
+                      self.dropout_rate)(h, lengths, deterministic)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="classifier")(h)
+        return h, lengths
+
+
+class EmbeddingEncoder(nn.Module):
+    """Token-input encoder for P2G (encoder.py:465-495): embedding →
+    transformer-style conformer cells without subsampling."""
+
+    vocab_size: int = 0
+    num_cells: int = 6
+    hdim: int = 256
+    num_heads: int = 4
+    kernel_size: int = 15
+    num_classes: int = 0
+    dropout_rate: float = 0.1
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, tokens, lengths, deterministic=True):
+        h = nn.Embed(self.vocab_size, self.hdim)(tokens.astype(jnp.int32))
+        for i in range(self.num_cells):
+            h = ConformerCell(self.hdim, self.num_heads, self.kernel_size,
+                              name=f"cell_{i}")(h, lengths, deterministic)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="classifier")(h)
+        return h, lengths

@@ -1,0 +1,305 @@
+"""NN building blocks (flax.linen), length-mask aware, static shapes.
+
+TPU-native counterparts of /root/reference/cat/shared/layer.py:
+Conv2dSubsampling (:77-144), VGG2LSubsampling (:155-203),
+PositionalEncoding (:212-226), RelPositionMultiHeadAttention (:238-416),
+conformer FFModule/ConvModule/MHSAModule/ConformerCell (:424-573),
+TimeReduction (:703-718). Design differences from the reference:
+- every module takes (x, lengths) and masks internally — no packed
+  sequences (cuDNN) — so the whole stack jits with static shapes;
+- the rel-shift is a verified gather (XLA lowers it well) instead of the
+  view/stride trick;
+- batch statistics in ConvModule use masked means under SPMD jit, so
+  cross-replica "sync BN" falls out of GSPMD for free (no wrapper like
+  coreutils.py:389-393).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+def length_mask(lengths, T):
+    """(N,) lengths → (N, T) bool mask."""
+    return jnp.arange(T)[None, :] < lengths[:, None]
+
+
+class Conv2dSubsampling(nn.Module):
+    """Two stride-2 conv2d blocks: T → T//4 (and freq //4), then linear."""
+
+    odim: int
+    norm: bool = False  # causal variants omitted; see CausalConv2d below
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        # x: (N, T, F)
+        N, T, F = x.shape
+        h = x[:, :, :, None]  # NHWC: (N, T, F, 1)
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h)
+        h = nn.relu(h)
+        # (N, T', F', odim) → (N, T', F'*odim)
+        Tp = h.shape[1]
+        h = h.reshape(N, Tp, -1)
+        h = nn.Dense(self.odim)(h)
+        # length math for two VALID stride-2 convs with kernel 3
+        out_lengths = (lengths - 1) // 2
+        out_lengths = (out_lengths - 1) // 2
+        out_lengths = jnp.maximum(out_lengths, 1)
+        return h, out_lengths
+
+
+class VGG2LSubsampling(nn.Module):
+    """VGG-style 2x(conv,conv,maxpool) 1/4 subsampling (layer.py:155-203)."""
+
+    out_channel: int = 128
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        N, T, F = x.shape
+        h = x[:, :, :, None]
+        for ch in (self.out_channel // 2, self.out_channel):
+            h = nn.Conv(ch, (3, 3), padding="SAME")(h)
+            h = nn.relu(h)
+            h = nn.Conv(ch, (3, 3), padding="SAME")(h)
+            h = nn.relu(h)
+            h = nn.max_pool(h, (2, 2), strides=(2, 2))
+        Tp = h.shape[1]
+        h = h.reshape(N, Tp, -1)
+        out_lengths = jnp.maximum(lengths // 4, 1)
+        return h, out_lengths
+
+
+class PositionalEncoding(nn.Module):
+    """Absolute sinusoidal PE (layer.py:212-226)."""
+
+    d_model: int
+    max_len: int = 5000
+
+    def __call__(self, x):
+        T = x.shape[1]
+        pos = np.arange(self.max_len)[:, None]
+        div = np.exp(np.arange(0, self.d_model, 2)
+                     * (-np.log(10000.0) / self.d_model))
+        pe = np.zeros((self.max_len, self.d_model), np.float32)
+        pe[:, 0::2] = np.sin(pos * div)
+        pe[:, 1::2] = np.cos(pos * div)
+        return x + jnp.asarray(pe)[None, :T]
+
+
+def rel_positional_encoding(T, d_model, dtype=jnp.float32):
+    """Relative sinusoid table p[m], m∈[0, 2T-1), distance d = T-1-m."""
+    d = np.arange(T - 1, -T, -1)[:, None].astype(np.float64)  # (2T-1, 1)
+    div = np.exp(np.arange(0, d_model, 2)
+                 * (-np.log(10000.0) / d_model))
+    pe = np.zeros((2 * T - 1, d_model), np.float64)
+    pe[:, 0::2] = np.sin(d * div)
+    pe[:, 1::2] = np.cos(d * div)
+    return jnp.asarray(pe, dtype)
+
+
+def rel_shift_gather(bd):
+    """(N, H, T, 2T-1) → (N, H, T, T): out[t, j] = bd[t, T-1-t+j]."""
+    T = bd.shape[2]
+    t = jnp.arange(T)[:, None]
+    j = jnp.arange(T)[None, :]
+    idx = T - 1 - t + j  # (T, T)
+    return jnp.take_along_axis(bd, idx[None, None, :, :], axis=-1)
+
+
+class RelPositionMultiHeadAttention(nn.Module):
+    """Transformer-XL style relative-position MHSA (layer.py:238-416)."""
+
+    num_heads: int
+    d_model: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        N, T, D = x.shape
+        H = self.num_heads
+        Dh = D // H
+        dense = lambda name: nn.DenseGeneral((H, Dh), use_bias=True,
+                                             name=name)
+        q = dense("q")(x)
+        k = dense("k")(x)
+        v = dense("v")(x)
+        p = nn.DenseGeneral((H, Dh), use_bias=False, name="pos")(
+            rel_positional_encoding(T, D, x.dtype))  # (2T-1, H, Dh)
+
+        u_bias = self.param("u_bias", nn.initializers.zeros, (H, Dh))
+        v_bias = self.param("v_bias", nn.initializers.zeros, (H, Dh))
+
+        ac = jnp.einsum("nthd,nshd->nhts", q + u_bias, k)
+        bd = jnp.einsum("nthd,mhd->nhtm", q + v_bias, p)
+        bd = rel_shift_gather(bd)
+        scores = (ac + bd) / jnp.sqrt(Dh).astype(x.dtype)
+        # mask: (N, T) valid
+        neg = jnp.finfo(x.dtype).min
+        scores = jnp.where(mask[:, None, None, :], scores, neg)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.where(mask[:, None, :, None], attn, 0.0)
+        attn = nn.Dropout(self.dropout_rate)(attn,
+                                             deterministic=deterministic)
+        out = jnp.einsum("nhts,nshd->nthd", attn, v)
+        out = nn.DenseGeneral(D, axis=(-2, -1), name="out")(out)
+        return out
+
+
+class FFModule(nn.Module):
+    """Conformer feed-forward module, half-step residual outside
+    (layer.py:424-451)."""
+
+    d_model: int
+    expansion: int = 4
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(self.d_model * self.expansion)(h)
+        h = nn.silu(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model)(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return h
+
+
+class ConvModule(nn.Module):
+    """Conformer convolution module: pointwise-GLU → depthwise → norm →
+    swish → pointwise (layer.py:476-533). Masked batch statistics; under
+    SPMD jit the batch mean is global, i.e. sync-BN for free."""
+
+    d_model: int
+    kernel_size: int = 32
+    dropout_rate: float = 0.0
+    use_batchnorm: bool = True
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, deterministic=True):
+        h = nn.LayerNorm()(x)
+        h = nn.Dense(2 * self.d_model)(h)
+        h = nn.glu(h, axis=-1)
+        h = jnp.where(mask[:, :, None], h, 0.0)
+        k = self.kernel_size
+        if self.causal:
+            pad = [(k - 1, 0)]
+        else:
+            pad = [((k - 1) // 2, k - 1 - (k - 1) // 2)]
+        h = nn.Conv(self.d_model, (k,), padding=pad,
+                    feature_group_count=self.d_model)(h)
+        if self.use_batchnorm:
+            # masked batch statistics over (batch, time)
+            cnt = jnp.maximum(jnp.sum(mask.astype(h.dtype)), 1.0)
+            mean = jnp.sum(jnp.where(mask[:, :, None], h, 0.0),
+                           axis=(0, 1)) / cnt
+            var = jnp.sum(jnp.where(mask[:, :, None],
+                                    (h - mean) ** 2, 0.0),
+                          axis=(0, 1)) / cnt
+            scale = self.param("bn_scale", nn.initializers.ones,
+                               (self.d_model,))
+            bias = self.param("bn_bias", nn.initializers.zeros,
+                              (self.d_model,))
+            ra_mean = self.variable("batch_stats", "mean",
+                                    lambda: jnp.zeros((self.d_model,)))
+            ra_var = self.variable("batch_stats", "var",
+                                   lambda: jnp.ones((self.d_model,)))
+            if deterministic:
+                use_mean, use_var = ra_mean.value, ra_var.value
+            else:
+                use_mean, use_var = mean, var
+                if not self.is_initializing():
+                    m = 0.9
+                    ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                    ra_var.value = m * ra_var.value + (1 - m) * var
+            h = (h - use_mean) * jax.lax.rsqrt(use_var + 1e-5)
+            h = h * scale + bias
+        else:
+            h = nn.LayerNorm()(h)
+        h = nn.silu(h)
+        h = nn.Dense(self.d_model)(h)
+        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return jnp.where(mask[:, :, None], h, 0.0)
+
+
+class ConformerCell(nn.Module):
+    """FF/2 → MHSA → Conv → FF/2 → LN (layer.py:544-573)."""
+
+    d_model: int
+    num_heads: int
+    kernel_size: int = 32
+    ff_expansion: int = 4
+    dropout_rate: float = 0.0
+    use_batchnorm: bool = True
+    causal_conv: bool = False
+
+    @nn.compact
+    def __call__(self, x, lengths, deterministic=True):
+        mask = length_mask(lengths, x.shape[1])
+        x = x + 0.5 * FFModule(self.d_model, self.ff_expansion,
+                               self.dropout_rate)(x, deterministic)
+        h = nn.LayerNorm()(x)
+        x = x + RelPositionMultiHeadAttention(
+            self.num_heads, self.d_model, self.dropout_rate)(
+                h, mask, deterministic)
+        x = x + ConvModule(self.d_model, self.kernel_size,
+                           self.dropout_rate, self.use_batchnorm,
+                           self.causal_conv)(x, mask, deterministic)
+        x = x + 0.5 * FFModule(self.d_model, self.ff_expansion,
+                               self.dropout_rate)(x, deterministic)
+        x = nn.LayerNorm()(x)
+        return jnp.where(mask[:, :, None], x, 0.0)
+
+
+class TimeReduction(nn.Module):
+    """Concatenate-free stride-based time downsampling (layer.py:703-718)."""
+
+    stride: int = 2
+
+    def __call__(self, x, lengths):
+        N, T, D = x.shape
+        Tp = T // self.stride
+        x = x[:, : Tp * self.stride].reshape(N, Tp, self.stride, D)
+        x = x.mean(axis=2)
+        return x, jnp.maximum(lengths // self.stride, 1)
+
+
+class Lookahead(nn.Module):
+    """Deepspeech-style lookahead conv (layer.py:645-672)."""
+
+    context: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.context
+        return nn.Conv(x.shape[-1], (k,), padding=[(0, k - 1)],
+                       feature_group_count=x.shape[-1], use_bias=False)(x)
+
+
+class TDNNLayer(nn.Module):
+    """1-D conv layer with dilation ('TDNN', layer.py:674-701)."""
+
+    odim: int
+    half_context: int = 1
+    dilation: int = 1
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, lengths):
+        k = 2 * self.half_context + 1
+        pad = self.half_context * self.dilation
+        h = nn.Conv(self.odim, (k,), strides=(self.stride,),
+                    kernel_dilation=(self.dilation,),
+                    padding=[(pad, pad)])(x)
+        h = nn.relu(h)
+        if self.stride > 1:
+            lengths = jnp.maximum(
+                (lengths + self.stride - 1) // self.stride, 1)
+        return h, lengths

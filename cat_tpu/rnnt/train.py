@@ -1,0 +1,170 @@
+"""RNN-T trainer assembly.
+
+Counterpart of /root/reference/cat/rnnt/train.py: TransducerTrainer
+(:112-223 — encoder + predictor + joiner + warp_rnnt loss, compact
+layout, predictor-output masking), build_model (:240-353).
+
+TPU design: one flax module bundles encoder/predictor/joiner; the loss is
+the native scan-based rnnt_loss (cat_tpu.ops.rnnt) on the dense
+(N, T, U+1, V) log-prob lattice — only materialized inside jit where XLA
+fuses the joiner broadcast-add into it. The compact-layout CUDA gather
+ops (gather.cat/sum) have no equivalent here by design.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+import flax.linen as nn
+
+from cat_tpu import models
+from cat_tpu.ops.rnnt import rnnt_loss
+from cat_tpu.ops.specaug import specaug
+from cat_tpu.utils.manager import TrainState
+
+
+class TransducerModel(nn.Module):
+    """Encoder + predictor + joiner; blank = 0 = <bos>."""
+
+    encoder: nn.Module
+    predictor: nn.Module
+    joiner: nn.Module
+
+    def __call__(self, feats, flens, labels, llens, deterministic=True):
+        enc, olens = self.encoder(feats, flens,
+                                  deterministic=deterministic)
+        N = labels.shape[0]
+        bos = jnp.zeros((N, 1), jnp.int32)
+        pred_in = jnp.concatenate([bos, labels.astype(jnp.int32)], axis=1)
+        pred, _ = self.predictor(pred_in, llens + 1,
+                                 deterministic=deterministic)
+        logits = self.joiner(enc, pred)  # (N, T, U+1, V)
+        return logits, olens
+
+    def encode(self, feats, flens, deterministic=True):
+        return self.encoder(feats, flens, deterministic=deterministic)
+
+    def predict(self, tokens, lengths=None, deterministic=True):
+        return self.predictor(tokens, lengths,
+                              deterministic=deterministic)
+
+    def join(self, enc, pred):
+        return self.joiner(enc, pred)
+
+    def predict_step(self, tokens, state):
+        """Incremental predictor step for decoding."""
+        return self.predictor.step(tokens, state)
+
+
+def build_model(cfg: dict, num_classes: int) -> TransducerModel:
+    """cfg: {"encoder": {...}, "decoder"/"predictor": {...},
+    "joiner": {...}} — type/kwargs reflection like the reference."""
+    enc_cfg = cfg["encoder"]
+    enc_kw = dict(enc_cfg.get("kwargs", {}))
+    enc_kw["with_head"] = False
+    enc_kw.pop("num_classes", None)
+    encoder = models.get_encoder(enc_cfg["type"])(**enc_kw)
+
+    pred_cfg = cfg.get("predictor", cfg.get("decoder"))
+    pred_kw = dict(pred_cfg.get("kwargs", {}))
+    pred_kw.setdefault("vocab_size", num_classes)
+    pred_kw["with_head"] = False
+    predictor = models.get_decoder(pred_cfg["type"])(**pred_kw)
+
+    join_cfg = cfg["joiner"]
+    join_kw = dict(join_cfg.get("kwargs", {}))
+    join_kw["odim"] = num_classes
+    joiner = models.get_joiner(join_cfg["type"])(**join_kw)
+    return TransducerModel(encoder=encoder, predictor=predictor,
+                           joiner=joiner)
+
+
+def init_state(model, tx, feat_dim: int, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    feats = jnp.zeros((2, 16, feat_dim), jnp.float32)
+    flens = jnp.asarray([16, 16], jnp.int32)
+    labels = jnp.zeros((2, 4), jnp.int32)
+    llens = jnp.asarray([4, 4], jnp.int32)
+    variables = jax.jit(partial(model.init, deterministic=True))(
+        rng, feats, flens, labels, llens)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=tx.init(params), step=jnp.asarray(0))
+
+
+def make_loss_fn(model, specaug_cfg: Optional[dict] = None,
+                 joiner_normalized: bool = False):
+    """joiner_normalized: True for HAT (already log-probs)."""
+
+    def loss_fn(params, batch_stats, batch, rng, train):
+        feats = batch["feats"]
+        flens = batch["feat_lengths"]
+        k_aug, k_drop = jax.random.split(rng)
+        if train and specaug_cfg is not None:
+            feats = specaug(k_aug, feats, flens, **specaug_cfg)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        mutable = ["batch_stats"] if (train and batch_stats) else False
+        out = model.apply(variables, feats, flens, batch["labels"],
+                          batch["label_lengths"],
+                          deterministic=not train, mutable=mutable,
+                          rngs={"dropout": k_drop} if train else {})
+        if mutable:
+            (logits, olens), new_vars = out
+            new_stats = new_vars.get("batch_stats", batch_stats)
+        else:
+            logits, olens = out
+            new_stats = batch_stats
+        lp = logits.astype(jnp.float32)
+        if not joiner_normalized:
+            lp = jax.nn.log_softmax(lp, axis=-1)
+        per_seq = rnnt_loss(lp, batch["labels"], olens,
+                            batch["label_lengths"], reduction="none")
+        w = batch["weight"]
+        loss = jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
+        return loss, (new_stats, per_seq)
+
+    return loss_fn
+
+
+def make_train_step(model, tx, specaug_cfg=None, grad_clip=5.0,
+                    joiner_normalized=False):
+    from cat_tpu.ctc.train import set_lr
+
+    loss_fn = make_loss_fn(model, specaug_cfg, joiner_normalized)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, lr, rng):
+        (loss, (new_stats, _)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, state.batch_stats,
+                                   batch, rng, True)
+        gnorm = optax.global_norm(grads)
+        if grad_clip > 0:
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        opt_state = set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (state.replace(params=params, batch_stats=new_stats,
+                              opt_state=opt_state, step=state.step + 1),
+                {"loss": loss, "grad_norm": gnorm})
+
+    return train_step
+
+
+def make_eval_step(model, joiner_normalized=False):
+    loss_fn = make_loss_fn(model, None, joiner_normalized)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        _, (_, per_seq) = loss_fn(state.params, state.batch_stats, batch,
+                                  jax.random.PRNGKey(0), False)
+        w = batch["weight"]
+        return {"loss_sum": jnp.sum(per_seq * w), "count": jnp.sum(w)}
+
+    return eval_step

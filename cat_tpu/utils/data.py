@@ -1,0 +1,258 @@
+"""Data layer: packed datasets + static-shape bucketed batching.
+
+Replaces /root/reference/cat/shared/data.py: KaldiSpeechDataset /
+ModifiedSpeechDataset (:148-210 — pickled index + ark reads),
+CorpusDataset (:213-269), sortedPadCollate* (:379-468), and the
+BatchDistSampler bucket/batch modes (:471-659) with TPU-friendly
+semantics:
+
+- Packed on-disk format: one flat f32 memmap of frames + offset tables
+  (features), one flat int32 array + offsets (labels). No pickle-per-item,
+  no lazy ark handles — sequential reads, mmap-backed, sharable across
+  hosts.
+- Bucketed batching with a FIXED set of (T_bucket, U_bucket, batch_size)
+  shapes so XLA compiles a small number of programs (SURVEY.md §7 hard
+  part 3). Global batches are always divisible by the data-axis size
+  (even SPMD dispatch); short batches are padded with repeated items
+  carrying weight 0, replacing the reference's uneven-dispatch loss
+  rescale (manager.py:482-505).
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+
+def pack_speech_data(out_dir, utterances, tokenizer=None):
+    """Pack features + transcripts.
+
+    utterances: iterable of (uid, feats (T, F) f32, transcript) where
+    transcript is a string (tokenized via tokenizer) or list[int].
+    Mirrors pipeline Stage 2 pack_data (cat/utils/pipeline/asr.py:24-150).
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    feat_offsets = [0]
+    label_offsets = [0]
+    labels_flat = []
+    uids = []
+    feat_dim = None
+    fbin = open(os.path.join(out_dir, "feats.bin"), "wb")
+    try:
+        for uid, feats, trans in utterances:
+            feats = np.ascontiguousarray(feats, np.float32)
+            if feat_dim is None:
+                feat_dim = feats.shape[1]
+            assert feats.shape[1] == feat_dim
+            fbin.write(feats.tobytes())
+            feat_offsets.append(feat_offsets[-1] + feats.shape[0])
+            if isinstance(trans, str):
+                ids = tokenizer.encode(trans)
+            else:
+                ids = list(trans)
+            labels_flat.extend(ids)
+            label_offsets.append(label_offsets[-1] + len(ids))
+            uids.append(uid)
+    finally:
+        fbin.close()
+    np.savez(os.path.join(out_dir, "meta.npz"),
+             feat_offsets=np.asarray(feat_offsets, np.int64),
+             label_offsets=np.asarray(label_offsets, np.int64),
+             labels=np.asarray(labels_flat, np.int32),
+             feat_dim=np.int32(feat_dim or 0))
+    with open(os.path.join(out_dir, "uids.txt"), "w") as f:
+        f.write("\n".join(uids))
+    return out_dir
+
+
+class SpeechDataset:
+    """Memmap-backed packed dataset: __getitem__ → (feats, labels)."""
+
+    def __init__(self, path):
+        meta = np.load(os.path.join(path, "meta.npz"))
+        self.feat_offsets = meta["feat_offsets"]
+        self.label_offsets = meta["label_offsets"]
+        self.labels = meta["labels"]
+        self.feat_dim = int(meta["feat_dim"])
+        self.feats = np.memmap(os.path.join(path, "feats.bin"),
+                               dtype=np.float32, mode="r").reshape(
+                                   -1, self.feat_dim)
+        with open(os.path.join(path, "uids.txt")) as f:
+            self.uids = f.read().splitlines()
+
+    def __len__(self):
+        return len(self.feat_offsets) - 1
+
+    def frame_length(self, i):
+        return int(self.feat_offsets[i + 1] - self.feat_offsets[i])
+
+    def label_length(self, i):
+        return int(self.label_offsets[i + 1] - self.label_offsets[i])
+
+    def __getitem__(self, i):
+        f = self.feats[self.feat_offsets[i]:self.feat_offsets[i + 1]]
+        l = self.labels[self.label_offsets[i]:self.label_offsets[i + 1]]
+        return np.asarray(f), np.asarray(l)
+
+
+def pack_corpus(out_dir, id_sequences):
+    """LM corpus packing (cat/utils/data/pack_corpus.py equivalent)."""
+    os.makedirs(out_dir, exist_ok=True)
+    offsets = [0]
+    flat = []
+    for ids in id_sequences:
+        flat.extend(ids)
+        offsets.append(offsets[-1] + len(ids))
+    np.savez(os.path.join(out_dir, "corpus.npz"),
+             tokens=np.asarray(flat, np.int32),
+             offsets=np.asarray(offsets, np.int64))
+    return out_dir
+
+
+class CorpusDataset:
+    def __init__(self, path):
+        z = np.load(os.path.join(path, "corpus.npz"))
+        self.tokens = z["tokens"]
+        self.offsets = z["offsets"]
+
+    def __len__(self):
+        return len(self.offsets) - 1
+
+    def __getitem__(self, i):
+        return np.asarray(self.tokens[self.offsets[i]:self.offsets[i + 1]])
+
+    def token_length(self, i):
+        return int(self.offsets[i + 1] - self.offsets[i])
+
+
+def make_buckets(lengths, num_buckets=8, min_len=16):
+    """Choose bucket boundaries (frame counts) from the empirical length
+    distribution: quantile-based, rounded up to multiples of 16."""
+    lengths = np.asarray(lengths)
+    qs = np.quantile(lengths, np.linspace(0, 1, num_buckets + 1)[1:])
+    edges = sorted(set(int(np.ceil(q / 16.0)) * 16 for q in qs))
+    if edges and edges[-1] < lengths.max():
+        edges[-1] = int(np.ceil(lengths.max() / 16.0)) * 16
+    return [max(e, min_len) for e in edges]
+
+
+@dataclass
+class Batch:
+    """Host-side batch; all arrays padded to the bucket's static shape."""
+
+    feats: np.ndarray        # (B, T, F) f32
+    feat_lengths: np.ndarray  # (B,) int32
+    labels: np.ndarray       # (B, U) int32
+    label_lengths: np.ndarray  # (B,) int32
+    weight: np.ndarray       # (B,) f32 — 0 for padding duplicates
+    uids: list | None = None
+
+    def asdict(self):
+        return dict(feats=self.feats, feat_lengths=self.feat_lengths,
+                    labels=self.labels, label_lengths=self.label_lengths,
+                    weight=self.weight)
+
+
+class BucketedLoader:
+    """Padding-aware bucketed batching with a fixed shape set.
+
+    Replaces BatchDistSampler bucket mode (data.py:471-584) +
+    weighted_group (coreutils.py:400-490). Every batch size is a multiple
+    of `multiple_of` (the data-axis size) and constant per bucket, so XLA
+    compiles exactly len(buckets) programs.
+    """
+
+    def __init__(self, dataset, frame_budget=40000, num_buckets=8,
+                 multiple_of=1, shuffle=True, seed=0, max_label_len=None,
+                 drop_infeasible=True):
+        self.ds = dataset
+        self.multiple_of = multiple_of
+        self.shuffle = shuffle
+        self.seed = seed
+        n = len(dataset)
+        self.flens = np.asarray([dataset.frame_length(i) for i in range(n)])
+        self.llens = np.asarray([dataset.label_length(i) for i in range(n)])
+        keep = np.ones(n, bool)
+        if drop_infeasible:
+            # CTC feasibility filter x//4 > y (cat/ctc/train.py:34-42)
+            keep &= (self.flens // 4) > self.llens
+        self.indices = np.nonzero(keep)[0]
+        if len(self.indices) == 0:
+            raise ValueError(
+                f"no usable utterances: dataset has {n}, all filtered "
+                "(CTC feasibility requires frames//4 > label_length)")
+        self.buckets = make_buckets(self.flens[self.indices], num_buckets)
+        # per-bucket batch size, rounded down to multiple_of (min 1x)
+        self.batch_sizes = []
+        self.label_caps = []
+        for edge in self.buckets:
+            bs = max(frame_budget // edge, 1)
+            bs = max((bs // multiple_of) * multiple_of, multiple_of)
+            self.batch_sizes.append(bs)
+            in_bucket = self.indices[self.flens[self.indices] <= edge]
+            cap = int(self.llens[in_bucket].max()) if len(in_bucket) else 1
+            if max_label_len:
+                cap = min(cap, max_label_len)
+            self.label_caps.append(max(cap, 1))
+
+    def bucket_of(self, length):
+        for b, edge in enumerate(self.buckets):
+            if length <= edge:
+                return b
+        return len(self.buckets) - 1
+
+    def __iter__(self):
+        return self.epoch(0)
+
+    def epoch(self, epoch_idx):
+        rng = np.random.default_rng(self.seed + epoch_idx)
+        order = self.indices.copy()
+        if self.shuffle:
+            rng.shuffle(order)
+        pools = [[] for _ in self.buckets]
+        for i in order:
+            b = self.bucket_of(self.flens[i])
+            pools[b].append(i)
+            if len(pools[b]) == self.batch_sizes[b]:
+                yield self._collate(pools[b], b)
+                pools[b] = []
+        for b, pool in enumerate(pools):
+            if pool:
+                yield self._collate(pool, b)
+
+    def num_batches(self):
+        cnt = 0
+        pools = [0] * len(self.buckets)
+        for i in self.indices:
+            b = self.bucket_of(self.flens[i])
+            pools[b] += 1
+        for b, n in enumerate(pools):
+            cnt += (n + self.batch_sizes[b] - 1) // self.batch_sizes[b]
+        return cnt
+
+    def _collate(self, idxs, b):
+        B = self.batch_sizes[b]
+        T = self.buckets[b]
+        U = self.label_caps[b]
+        F = self.ds.feat_dim
+        feats = np.zeros((B, T, F), np.float32)
+        labels = np.zeros((B, U), np.int32)
+        flen = np.zeros((B,), np.int32)
+        llen = np.zeros((B,), np.int32)
+        weight = np.zeros((B,), np.float32)
+        real = len(idxs)
+        for j in range(B):
+            i = idxs[j % real]  # pad short batches by repetition
+            f, l = self.ds[i]
+            t = min(f.shape[0], T)
+            u = min(len(l), U)
+            feats[j, :t] = f[:t]
+            labels[j, :u] = l[:u]
+            flen[j] = t
+            llen[j] = u
+            weight[j] = 1.0 if j < real else 0.0
+        return Batch(feats, flen, labels, llen, weight,
+                     uids=[self.ds.uids[i] if hasattr(self.ds, "uids")
+                           else str(i) for i in idxs])

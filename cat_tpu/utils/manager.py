@@ -1,0 +1,169 @@
+"""Train-loop orchestrator (the Manager).
+
+Counterpart of /root/reference/cat/shared/manager.py:34-716: epoch loop
+with eval-gated checkpointing, LR scheduling, early stop, grad
+accumulation and metric logging — redesigned for SPMD jit:
+
+- ONE compiled train step per bucket shape; lr enters as data.
+- Gradient accumulation wraps the optax transform (optax.MultiSteps
+  equivalent semantics of manager.py:660-665 no_sync folding).
+- The eval loss all_reduce (manager.py:710-711) is just a jnp.mean under
+  jit over the sharded batch.
+- Resume = load state pytree + scheduler/step bookkeeping
+  (manager.py:296-345).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.struct
+
+from cat_tpu.utils.checkpoint import (CheckpointManager, load_checkpoint,
+                                      save_checkpoint)
+from cat_tpu.utils.scheduler import Scheduler, State
+
+
+class TrainState(flax.struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.int32
+
+
+class MetricLogger:
+    """JSONL metric log + console (replaces the rank-0 SummaryWriter,
+    manager.py:335-345)."""
+
+    def __init__(self, log_dir, quiet=False):
+        os.makedirs(log_dir, exist_ok=True)
+        self.path = os.path.join(log_dir, "metrics.jsonl")
+        self.quiet = quiet
+
+    def log(self, **kv):
+        kv["time"] = time.time()
+        with open(self.path, "a") as f:
+            f.write(json.dumps(kv) + "\n")
+        if not self.quiet:
+            msg = " | ".join(f"{k}={v:.5g}" if isinstance(v, float)
+                             else f"{k}={v}" for k, v in kv.items()
+                             if k != "time")
+            print(msg, flush=True)
+
+
+class Manager:
+    """Drives training given jitted step functions.
+
+    Args:
+      train_step: fn(state, batch_dict, lr, rng) -> (state, metrics_dict)
+      eval_step: fn(state, batch_dict) -> metrics_dict with 'loss','count'
+      state: initial TrainState
+      scheduler: cat_tpu.utils.scheduler.Scheduler
+      ckpt: CheckpointManager
+      train_loader / eval_loader: iterables of Batch (see utils.data);
+        train_loader must expose .epoch(i).
+    """
+
+    def __init__(self, train_step, eval_step, state, scheduler: Scheduler,
+                 ckpt: CheckpointManager, train_loader, eval_loader,
+                 logger: Optional[MetricLogger] = None, rng=None,
+                 put_batch: Callable = None, max_epochs: int = 10000,
+                 check_freq: int = -1, verbose: bool = True):
+        self.train_step = train_step
+        self.eval_step = eval_step
+        self.state = state
+        self.scheduler = scheduler
+        self.ckpt = ckpt
+        self.train_loader = train_loader
+        self.eval_loader = eval_loader
+        self.logger = logger or MetricLogger(ckpt.dir, quiet=not verbose)
+        self.rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self.put_batch = put_batch or (lambda b: b)
+        self.max_epochs = max_epochs
+        self.check_freq = check_freq  # steps between evals; -1 = per epoch
+        self.epoch = 0
+        self.global_step = 0
+
+    # ------------- persistence -------------
+
+    def save(self, metric):
+        state_dict = {
+            "state": self.state,
+            "scheduler": self.scheduler.state_dict(),
+            "epoch": self.epoch,
+            "step": self.global_step,
+        }
+        return self.ckpt.save(state_dict, metric, self.global_step,
+                              self.epoch)
+
+    def resume(self, path):
+        ck = load_checkpoint(path)
+        self.state = jax.tree_util.tree_map(
+            lambda ref, x: jnp.asarray(x), self.state, ck["state"])
+        self.scheduler.load_state_dict(ck["scheduler"])
+        self.epoch = ck["epoch"]
+        self.global_step = ck["step"]
+
+    def load_init_model(self, path):
+        """--init-model: weights only (manager.py:303-318)."""
+        ck = load_checkpoint(path)
+        params = ck["state"].params if hasattr(ck["state"], "params") \
+            else ck["state"]["params"]
+        self.state = self.state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, params))
+
+    # ------------- loops -------------
+
+    def evaluate(self):
+        total, count = 0.0, 0.0
+        for batch in self.eval_loader:
+            m = self.eval_step(self.state, self.put_batch(batch.asdict()))
+            total += float(m["loss_sum"])
+            count += float(m["count"])
+        return total / max(count, 1.0)
+
+    def run(self):
+        terminated = False
+        while not terminated and self.epoch < self.max_epochs:
+            self.epoch += 1
+            t_data, t_step = 0.0, 0.0
+            t0 = time.time()
+            for batch in self.train_loader.epoch(self.epoch):
+                t_data += time.time() - t0
+                self.global_step += 1
+                self.scheduler.update_lr_step(self.global_step)
+                self.rng, sub = jax.random.split(self.rng)
+                t1 = time.time()
+                self.state, metrics = self.train_step(
+                    self.state, self.put_batch(batch.asdict()),
+                    jnp.float32(self.scheduler.lr), sub)
+                t_step += time.time() - t1
+                if self.check_freq > 0 and \
+                        self.global_step % self.check_freq == 0:
+                    terminated = self._checkpoint_round(metrics)
+                    if terminated:
+                        break
+                t0 = time.time()
+            if not terminated and self.check_freq <= 0:
+                terminated = self._checkpoint_round(None)
+            self.logger.log(epoch=self.epoch, data_s=t_data,
+                            step_s=t_step)
+        return self.scheduler.best_metric
+
+    def _checkpoint_round(self, last_train_metrics):
+        dev_loss = self.evaluate()
+        st = self.scheduler.step(dev_loss)
+        kv = dict(step=self.global_step, epoch=self.epoch,
+                  dev_loss=dev_loss, lr=self.scheduler.lr,
+                  sched=st.name)
+        if last_train_metrics is not None:
+            kv["train_loss"] = float(last_train_metrics.get("loss", 0.0))
+        self.logger.log(**kv)
+        self.save(dev_loss)
+        return st == State.TERMINATED

