@@ -41,9 +41,8 @@ def main():
     import jax.numpy as jnp
 
     from cat_tpu.ctc.train import build_model, init_state, make_train_step
-    from cat_tpu.fst.graph import DenGraph, build_den_fst
     from cat_tpu.fst.ngram import train_ngram
-    from cat_tpu.ops.crf import DenDevice
+    from cat_tpu.ops.crf_dense import DenseDen
     from cat_tpu.utils.scheduler import build_scheduler
 
     model = build_model(
@@ -60,13 +59,13 @@ def main():
                       "kwargs": {"lr": 1e-3, "betas": [0.9, 0.98]}}})
     state = init_state(model, tx, feat_dim=80)
 
-    # denominator: 3-gram phone LM over the 71-phone vocabulary
+    # denominator: 3-gram phone LM over the 71-phone vocabulary,
+    # expanded to the dense MXU context tensor (cat_tpu.ops.crf_dense)
     rng = np.random.default_rng(0)
     seqs = [list(rng.integers(1, VOCAB, size=int(rng.integers(5, 30))))
             for _ in range(300)]
     lm = train_ngram(seqs, order=3)
-    den = DenDevice.from_graph(
-        DenGraph.from_fst(build_den_fst(lm, num_classes=VOCAB)))
+    den = DenseDen.from_ngram(lm, num_classes=VOCAB)
 
     train_step = make_train_step(
         model, tx, loss_type="crf", den=den, lamb=0.1,

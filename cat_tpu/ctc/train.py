@@ -23,6 +23,7 @@ import optax
 
 from cat_tpu import models
 from cat_tpu.ops.crf import DenDevice, den_log_partition
+from cat_tpu.ops.crf_dense import DenseDen, dense_den_log_partition
 from cat_tpu.ops.ctc import ctc_loss
 from cat_tpu.ops.specaug import specaug
 from cat_tpu.utils.manager import TrainState
@@ -116,7 +117,10 @@ def make_loss_fn(model, loss_type="ctc", den: Optional[DenDevice] = None,
         elif loss_type == "crf":
             # cost = den_lld − (1+λ)·ctc_lld (ctc_crf/__init__.py:81-83)
             nll = ctc_loss(lp, labels, out_lens, llens, reduction="none")
-            logz = den_log_partition(lp, out_lens, den)
+            if isinstance(den, DenseDen):
+                logz = dense_den_log_partition(lp, out_lens, den)
+            else:
+                logz = den_log_partition(lp, out_lens, den)
             per_seq = logz + (1.0 + lamb) * nll
         else:
             raise ValueError(loss_type)

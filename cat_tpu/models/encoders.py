@@ -196,9 +196,12 @@ class ConformerNet(nn.Module):
     time_reduction_stride: int = 2
     use_batchnorm: bool = True
     with_head: bool = True
+    dtype: str = "float32"  # "bfloat16" for MXU-friendly compute
+    remat: bool = False     # rematerialize cells (memory for FLOPs)
 
     @nn.compact
     def __call__(self, x, lengths, deterministic=True):
+        dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         if self.subsampling == "conv2d":
             h, lengths = Conv2dSubsampling(self.hdim)(x, lengths)
         elif self.subsampling == "vgg2l":
@@ -207,15 +210,20 @@ class ConformerNet(nn.Module):
         else:
             raise ValueError(self.subsampling)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        cell_cls = ConformerCell
+        if self.remat:
+            cell_cls = nn.remat(ConformerCell, static_argnums=(2,))
         for i in range(self.num_cells):
-            h = ConformerCell(self.hdim, self.num_heads, self.kernel_size,
-                              4, self.dropout_rate, self.use_batchnorm,
-                              name=f"cell_{i}")(h, lengths, deterministic)
+            h = cell_cls(self.hdim, self.num_heads, self.kernel_size,
+                         4, self.dropout_rate, self.use_batchnorm,
+                         False, dtype,
+                         name=f"cell_{i}")(h, lengths, deterministic)
             if i == self.time_reduction_layer:
                 h, lengths = TimeReduction(self.time_reduction_stride)(
                     h, lengths)
         if self.with_head and self.num_classes > 0:
-            h = nn.Dense(self.num_classes, name="classifier")(h)
+            h = nn.Dense(self.num_classes, name="classifier")(
+                h.astype(jnp.float32))
         return h, lengths
 
 

@@ -15,7 +15,7 @@ TimeReduction (:703-718). Design differences from the reference:
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import numpy as np
 
@@ -119,6 +119,7 @@ class RelPositionMultiHeadAttention(nn.Module):
     num_heads: int
     d_model: int
     dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
@@ -126,30 +127,37 @@ class RelPositionMultiHeadAttention(nn.Module):
         H = self.num_heads
         Dh = D // H
         dense = lambda name: nn.DenseGeneral((H, Dh), use_bias=True,
-                                             name=name)
-        q = dense("q")(x)
-        k = dense("k")(x)
-        v = dense("v")(x)
-        p = nn.DenseGeneral((H, Dh), use_bias=False, name="pos")(
-            rel_positional_encoding(T, D, x.dtype))  # (2T-1, H, Dh)
+                                             dtype=self.dtype, name=name)
+        xc = x.astype(self.dtype)
+        q = dense("q")(xc)
+        k = dense("k")(xc)
+        v = dense("v")(xc)
+        p = nn.DenseGeneral((H, Dh), use_bias=False, dtype=self.dtype,
+                            name="pos")(
+            rel_positional_encoding(T, D, self.dtype))  # (2T-1, H, Dh)
 
         u_bias = self.param("u_bias", nn.initializers.zeros, (H, Dh))
         v_bias = self.param("v_bias", nn.initializers.zeros, (H, Dh))
-
-        ac = jnp.einsum("nthd,nshd->nhts", q + u_bias, k)
-        bd = jnp.einsum("nthd,mhd->nhtm", q + v_bias, p)
+        u_bias = u_bias.astype(self.dtype)
+        v_bias = v_bias.astype(self.dtype)
+        ac = jnp.einsum("nthd,nshd->nhts", q + u_bias, k,
+                        preferred_element_type=jnp.float32)
+        bd = jnp.einsum("nthd,mhd->nhtm", q + v_bias, p,
+                        preferred_element_type=jnp.float32)
         bd = rel_shift_gather(bd)
-        scores = (ac + bd) / jnp.sqrt(Dh).astype(x.dtype)
-        # mask: (N, T) valid
-        neg = jnp.finfo(x.dtype).min
+        scores = (ac + bd) / jnp.sqrt(Dh).astype(jnp.float32)
+        # mask: (N, T) valid; softmax in f32 for stability
+        neg = jnp.finfo(jnp.float32).min
         scores = jnp.where(mask[:, None, None, :], scores, neg)
         attn = jax.nn.softmax(scores, axis=-1)
         attn = jnp.where(mask[:, None, :, None], attn, 0.0)
         attn = nn.Dropout(self.dropout_rate)(attn,
                                              deterministic=deterministic)
-        out = jnp.einsum("nhts,nshd->nthd", attn, v)
-        out = nn.DenseGeneral(D, axis=(-2, -1), name="out")(out)
-        return out
+        out = jnp.einsum("nhts,nshd->nthd", attn.astype(self.dtype),
+                         v, preferred_element_type=jnp.float32)
+        out = nn.DenseGeneral(D, axis=(-2, -1), dtype=self.dtype,
+                              name="out")(out.astype(self.dtype))
+        return out.astype(x.dtype)
 
 
 class FFModule(nn.Module):
@@ -159,16 +167,17 @@ class FFModule(nn.Module):
     d_model: int
     expansion: int = 4
     dropout_rate: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic=True):
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(self.d_model * self.expansion)(h)
+        h = nn.LayerNorm(dtype=jnp.float32)(x)
+        h = nn.Dense(self.d_model * self.expansion, dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model)(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return h
+        return h.astype(x.dtype)
 
 
 class ConvModule(nn.Module):
@@ -181,11 +190,12 @@ class ConvModule(nn.Module):
     dropout_rate: float = 0.0
     use_batchnorm: bool = True
     causal: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(2 * self.d_model)(h)
+        h = nn.LayerNorm(dtype=jnp.float32)(x)
+        h = nn.Dense(2 * self.d_model, dtype=self.dtype)(h)
         h = nn.glu(h, axis=-1)
         h = jnp.where(mask[:, :, None], h, 0.0)
         k = self.kernel_size
@@ -194,7 +204,9 @@ class ConvModule(nn.Module):
         else:
             pad = [((k - 1) // 2, k - 1 - (k - 1) // 2)]
         h = nn.Conv(self.d_model, (k,), padding=pad,
-                    feature_group_count=self.d_model)(h)
+                    feature_group_count=self.d_model,
+                    dtype=self.dtype)(h)
+        h = h.astype(jnp.float32)
         if self.use_batchnorm:
             # masked batch statistics over (batch, time)
             cnt = jnp.maximum(jnp.sum(mask.astype(h.dtype)), 1.0)
@@ -224,9 +236,9 @@ class ConvModule(nn.Module):
         else:
             h = nn.LayerNorm()(h)
         h = nn.silu(h)
-        h = nn.Dense(self.d_model)(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
-        return jnp.where(mask[:, :, None], h, 0.0)
+        return jnp.where(mask[:, :, None], h.astype(x.dtype), 0.0)
 
 
 class ConformerCell(nn.Module):
@@ -239,22 +251,26 @@ class ConformerCell(nn.Module):
     dropout_rate: float = 0.0
     use_batchnorm: bool = True
     causal_conv: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, lengths, deterministic=True):
         mask = length_mask(lengths, x.shape[1])
         x = x + 0.5 * FFModule(self.d_model, self.ff_expansion,
-                               self.dropout_rate)(x, deterministic)
-        h = nn.LayerNorm()(x)
+                               self.dropout_rate,
+                               dtype=self.dtype)(x, deterministic)
+        h = nn.LayerNorm(dtype=jnp.float32)(x)
         x = x + RelPositionMultiHeadAttention(
-            self.num_heads, self.d_model, self.dropout_rate)(
-                h, mask, deterministic)
+            self.num_heads, self.d_model, self.dropout_rate,
+            dtype=self.dtype)(h, mask, deterministic)
         x = x + ConvModule(self.d_model, self.kernel_size,
                            self.dropout_rate, self.use_batchnorm,
-                           self.causal_conv)(x, mask, deterministic)
+                           self.causal_conv,
+                           dtype=self.dtype)(x, mask, deterministic)
         x = x + 0.5 * FFModule(self.d_model, self.ff_expansion,
-                               self.dropout_rate)(x, deterministic)
-        x = nn.LayerNorm()(x)
+                               self.dropout_rate,
+                               dtype=self.dtype)(x, deterministic)
+        x = nn.LayerNorm(dtype=jnp.float32)(x)
         return jnp.where(mask[:, :, None], x, 0.0)
 
 

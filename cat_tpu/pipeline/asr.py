@@ -168,23 +168,32 @@ def stage_train(expdir, hyper, config, tok):
 
 def build_den(expdir, hyper, tok, tr_ds):
     """Denominator LM from training transcripts (prep_den_lm.sh
-    equivalent)."""
+    equivalent). Uses the dense MXU expansion (ops.crf_dense) when the
+    unit vocabulary and LM order permit; arc tables otherwise."""
     from cat_tpu.fst.graph import DenGraph, build_den_fst
     from cat_tpu.fst.ngram import train_ngram
     from cat_tpu.ops.crf import DenDevice
+    from cat_tpu.ops.crf_dense import DenseDen
 
-    den_path = os.path.join(expdir, "den_graph.npz")
-    if os.path.exists(den_path):
-        return DenDevice.from_graph(DenGraph.load(den_path))
+    order = hyper.get("den_lm", {}).get("order", 3)
+    use_dense = order <= 3 and tok.vocab_size <= 128
+    dense_path = os.path.join(expdir, "den_dense.npz")
+    graph_path = os.path.join(expdir, "den_graph.npz")
+    if use_dense and os.path.exists(dense_path):
+        return DenseDen.load(dense_path)
+    if not use_dense and os.path.exists(graph_path):
+        return DenDevice.from_graph(DenGraph.load(graph_path))
     seqs = []
     for i in range(len(tr_ds)):
         _, lab = tr_ds[i]
         seqs.append([int(x) for x in lab])
-    order = hyper.get("den_lm", {}).get("order", 3)
     lm = train_ngram(seqs, order=order)
-    fst = build_den_fst(lm, num_classes=tok.vocab_size)
-    g = DenGraph.from_fst(fst)
-    g.save(den_path)
+    if use_dense:
+        den = DenseDen.from_ngram(lm, num_classes=tok.vocab_size)
+        den.save(dense_path)
+        return den
+    g = DenGraph.from_fst(build_den_fst(lm, num_classes=tok.vocab_size))
+    g.save(graph_path)
     return DenDevice.from_graph(g)
 
 
@@ -208,20 +217,27 @@ def stage_decode(expdir, hyper, config, tok):
     ckpt = CheckpointManager(os.path.join(expdir, "check"))
     inf = hyper.get("inference", {})
     avg = inf.get("avgmodel", {})
+
+    def unpack(st):
+        if hasattr(st, "params"):
+            return st.params, st.batch_stats
+        return st["params"], st.get("batch_stats", {})
+
+    best = ckpt.best()
+    params, batch_stats = unpack(load_checkpoint(ckpt.path(best))["state"])
     if avg.get("num", 0) > 1:
         entries = sorted(ckpt.entries, key=lambda e: e[1])[: avg["num"]]
         paths = [ckpt.path(e[0]) for e in entries
                  if os.path.exists(ckpt.path(e[0]))]
-        full = load_checkpoint(ckpt.path(entries[0][0]))
-        params = average_checkpoints(paths, key="state")["params"] \
-            if paths else full["state"]["params"]
-    else:
-        best = ckpt.best()
-        st = load_checkpoint(ckpt.path(best))["state"]
-        params = st.params if hasattr(st, "params") else st["params"]
+        if len(paths) > 1:
+            avg_state = average_checkpoints(paths, key="state")
+            params, batch_stats = unpack(avg_state)
 
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
     apply = jax.jit(lambda x, l: model.apply(
-        {"params": params}, x, l, deterministic=True))
+        variables, x, l, deterministic=True))
     dec_cfg = inf.get("decode", {})
     beam = dec_cfg.get("beam_width", 16)
     hyps, refs = {}, {}
