@@ -49,7 +49,12 @@ def main():
         {"encoder": {"type": "ConformerNet",
                      "kwargs": {"num_cells": NUM_CELLS, "hdim": HDIM,
                                 "num_heads": 8, "kernel_size": 32,
-                                "dropout_rate": 0.1}}},
+                                "dropout_rate": 0.1,
+                                "dtype": os.environ.get(
+                                    "BENCH_DTYPE", "bfloat16"),
+                                "scan_layers": True,
+                                "remat": os.environ.get(
+                                    "BENCH_REMAT", "0") == "1"}}},
         num_classes=VOCAB)
     _, tx = build_scheduler({
         "type": "SchedulerNoam",
@@ -85,12 +90,16 @@ def main():
     lr = jnp.float32(1e-4)
     for _ in range(WARMUP):
         state, metrics = train_step(state, batch, lr, key)
-    jax.block_until_ready(state.params)
+    # force full sync by materializing a value that depends on the chain
+    float(metrics["loss"])
     t0 = time.time()
     for i in range(STEPS):
         key, sub = jax.random.split(key)
         state, metrics = train_step(state, batch, lr, sub)
-    jax.block_until_ready(state.params)
+    # steps chain through `state`; fetching the final loss forces the
+    # whole pipeline to drain (block_until_ready alone is not reliable
+    # on the remote axon backend)
+    float(metrics["loss"])
     dt = time.time() - t0
     steps_per_s = STEPS / dt
     audio_s_per_batch = BATCH * FRAMES * 0.01  # 10 ms frame shift

@@ -198,6 +198,9 @@ class ConformerNet(nn.Module):
     with_head: bool = True
     dtype: str = "float32"  # "bfloat16" for MXU-friendly compute
     remat: bool = False     # rematerialize cells (memory for FLOPs)
+    scan_layers: bool = False  # nn.scan over stacked cell params:
+    # compiles ONE cell instead of num_cells (compile-time killer for
+    # deep stacks); requires time_reduction_layer < 0
 
     @nn.compact
     def __call__(self, x, lengths, deterministic=True):
@@ -210,17 +213,36 @@ class ConformerNet(nn.Module):
         else:
             raise ValueError(self.subsampling)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        cell_kw = dict(d_model=self.hdim, num_heads=self.num_heads,
+                       kernel_size=self.kernel_size, ff_expansion=4,
+                       dropout_rate=self.dropout_rate,
+                       use_batchnorm=self.use_batchnorm,
+                       causal_conv=False, dtype=dtype)
         cell_cls = ConformerCell
         if self.remat:
-            cell_cls = nn.remat(ConformerCell, static_argnums=(2,))
-        for i in range(self.num_cells):
-            h = cell_cls(self.hdim, self.num_heads, self.kernel_size,
-                         4, self.dropout_rate, self.use_batchnorm,
-                         False, dtype,
-                         name=f"cell_{i}")(h, lengths, deterministic)
-            if i == self.time_reduction_layer:
-                h, lengths = TimeReduction(self.time_reduction_stride)(
-                    h, lengths)
+            # static_argnums counts the module itself at 0 in flax's
+            # lifted core_fn, so `deterministic` is position 3
+            cell_cls = nn.remat(ConformerCell, static_argnums=(3,))
+        if self.scan_layers and self.time_reduction_layer < 0:
+            cell = cell_cls(**cell_kw, name="cells")
+
+            def body(mdl, carry, lens, det):
+                return mdl(carry, lens, det), None
+
+            scan_fn = nn.scan(
+                body,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast),
+                length=self.num_cells)
+            h, _ = scan_fn(cell, h, lengths, deterministic)
+        else:
+            for i in range(self.num_cells):
+                h = cell_cls(**cell_kw, name=f"cell_{i}")(
+                    h, lengths, deterministic)
+                if i == self.time_reduction_layer:
+                    h, lengths = TimeReduction(
+                        self.time_reduction_stride)(h, lengths)
         if self.with_head and self.num_classes > 0:
             h = nn.Dense(self.num_classes, name="classifier")(
                 h.astype(jnp.float32))

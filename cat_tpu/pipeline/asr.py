@@ -236,22 +236,31 @@ def stage_decode(expdir, hyper, config, tok):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    apply = jax.jit(lambda x, l: model.apply(
-        variables, x, l, deterministic=True))
     dec_cfg = inf.get("decode", {})
     beam = dec_cfg.get("beam_width", 16)
+    is_rnnt = hyper["train"]["bin"].endswith("rnnt.train")
     hyps, refs = {}, {}
-    text = {}
+    if is_rnnt:
+        from cat_tpu.rnnt.decode import RNNTBeamDecoder
+        decoder = RNNTBeamDecoder(model, params, beam_width=beam)
+    else:
+        apply = jax.jit(lambda x, l: model.apply(
+            variables, x, l, deterministic=True))
     for i in range(len(ds)):
         f, lab = ds[i]
-        logits, olen = apply(jnp.asarray(f[None]),
-                             jnp.asarray([f.shape[0]], np.int32))
-        lp = jax.nn.log_softmax(logits, axis=-1)
-        nbest = batch_prefix_beam_search(np.asarray(lp),
-                                        np.asarray(olen),
-                                        beam_width=beam)[0]
         uid = ds.uids[i]
-        hyps[uid] = tok.decode(list(nbest[0][1]))
+        if is_rnnt:
+            res = decoder.decode(f[None], np.asarray([f.shape[0]],
+                                                     np.int32))
+            hyps[uid] = tok.decode(res[0][0][1])
+        else:
+            logits, olen = apply(jnp.asarray(f[None]),
+                                 jnp.asarray([f.shape[0]], np.int32))
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            nbest = batch_prefix_beam_search(np.asarray(lp),
+                                             np.asarray(olen),
+                                             beam_width=beam)[0]
+            hyps[uid] = tok.decode(list(nbest[0][1]))
         refs[uid] = tok.decode([int(x) for x in lab])
     res = wer(refs, hyps, char_level=dec_cfg.get("cer", False))
     out_path = os.path.join(expdir, f"decode_{test_split}.txt")

@@ -87,17 +87,31 @@ def make_greedy_decoder(model, blank=0, max_symbols=4, max_out=200,
     return jax.jit(decode)
 
 
+class CombinedLM:
+    """Weighted combination of LM scorers — the MultiDecoder / LODR
+    equivalent (decoder.py:705-795): e.g. NN LM with positive weight +
+    n-gram with negative weight. Each scorer needs logp(ctx, tok) in
+    log10; weights are applied on top of the decoder-level alpha."""
+
+    def __init__(self, lms_and_weights):
+        self.parts = list(lms_and_weights)
+
+    def logp(self, context, tok):
+        return sum(w * lm.logp(context, tok) for lm, w in self.parts)
+
+
 class RNNTBeamDecoder:
     """Host beam search with jitted batched predictor/joiner steps.
 
     Options mirror cat/rnnt/decode.py:180-327: beam width, shallow
-    fusion (n-gram via fst.ngram.NGramLM or any object with
-    logp(ctx, tok) in log10), length reward beta, ILM subtraction
-    weight (HAT joiner)."""
+    fusion (n-gram via fst.ngram.NGramLM, or CombinedLM for LODR),
+    length reward beta, internal-LM subtraction (ilm_weight — the ILM
+    head is the joiner evaluated with a zero encoder contribution,
+    decoder.py:660-702)."""
 
     def __init__(self, model, params, beam_width=8, blank=0,
                  lm=None, alpha=0.0, beta=0.0, max_symbols=3,
-                 joiner_normalized=False):
+                 joiner_normalized=False, ilm_weight=0.0):
         self.model = model
         self.params = params
         self.W = beam_width
@@ -107,6 +121,7 @@ class RNNTBeamDecoder:
         self.beta = beta
         self.max_symbols = max_symbols
         self.joiner_normalized = joiner_normalized
+        self.ilm_weight = ilm_weight
         v = {"params": params}
         self._encode = jax.jit(lambda f, l: model.apply(
             v, f, l, deterministic=True, method=model.encode))
@@ -116,14 +131,22 @@ class RNNTBeamDecoder:
         def _join(enc_t, pred):
             logits = model.apply(v, enc_t, pred, method=model.join)
             if joiner_normalized:
-                return logits
-            return jax.nn.log_softmax(logits, axis=-1)
+                lp = logits
+            else:
+                lp = jax.nn.log_softmax(logits, axis=-1)
+            if ilm_weight != 0.0:
+                ilm_logits = model.apply(v, jnp.zeros_like(enc_t), pred,
+                                         method=model.join)
+                ilm = jax.nn.log_softmax(ilm_logits, axis=-1)
+                # subtract internal LM on label scores only (blank kept)
+                lp = lp.at[..., 1:].add(-ilm_weight * ilm[..., 1:])
+            return lp
 
         self._join = jax.jit(_join)
 
     def _lm_score(self, prefix, tok):
         if self.lm is None:
-            return 0.0
+            return self.beta
         return self.alpha * self.lm.logp(tuple(prefix), tok) * LN10 \
             + self.beta
 
