@@ -137,7 +137,8 @@ def stage_train(expdir, hyper, config, tok):
     specaug_cfg = config.get("specaug")
 
     loader_kw = dict(frame_budget=opts.get("frame_budget", 20000),
-                     num_buckets=opts.get("num_buckets", 4))
+                     num_buckets=opts.get("num_buckets", 4),
+                     multiple_of=max(jax.device_count(), 1))
     train_loader = BucketedLoader(tr_ds, seed=opts.get("seed", 0),
                                   **loader_kw)
     eval_loader = BucketedLoader(dv_ds, shuffle=False, **loader_kw)
@@ -153,10 +154,28 @@ def stage_train(expdir, hyper, config, tok):
         eval_step = task.make_eval_step(
             model, loss_type, den=den, lamb=trainer_cfg.get("lamb", 0.1))
 
+    # SPMD: shard batches over the 'data' mesh axis when more than one
+    # device is present; params replicate, optimizer state ZeRO-1.
+    put_batch = None
+    if jax.device_count() > 1:
+        from cat_tpu.parallel import (make_mesh, replicated,
+                                      shard_batch, zero1_shardings)
+
+        mesh = make_mesh()
+        state = state.replace(
+            params=jax.device_put(
+                state.params,
+                jax.tree_util.tree_map(lambda _: replicated(mesh),
+                                       state.params)),
+            opt_state=jax.device_put(
+                state.opt_state, zero1_shardings(state.opt_state, mesh)))
+        put_batch = lambda b: shard_batch(mesh, b)
+
     mgr = Manager(train_step=train_step, eval_step=eval_step, state=state,
                   scheduler=sched,
                   ckpt=CheckpointManager(os.path.join(expdir, "check")),
                   train_loader=train_loader, eval_loader=eval_loader,
+                  put_batch=put_batch,
                   max_epochs=opts.get("max_epochs", 100),
                   check_freq=opts.get("check_freq", -1))
     resume = opts.get("resume")
