@@ -286,12 +286,14 @@ class EmbeddingEncoder(nn.Module):
     num_classes: int = 0
     dropout_rate: float = 0.1
     with_head: bool = True
+    use_batchnorm: bool = False  # token encoders default to LN
 
     @nn.compact
     def __call__(self, tokens, lengths, deterministic=True):
         h = nn.Embed(self.vocab_size, self.hdim)(tokens.astype(jnp.int32))
         for i in range(self.num_cells):
             h = ConformerCell(self.hdim, self.num_heads, self.kernel_size,
+                              use_batchnorm=self.use_batchnorm,
                               name=f"cell_{i}")(h, lengths, deterministic)
         if self.with_head and self.num_classes > 0:
             h = nn.Dense(self.num_classes, name="classifier")(h)

@@ -61,15 +61,16 @@ def test_jsa_trainer_runs_and_improves():
     rng = np.random.default_rng(0)
     batches = [make_batch(rng) for _ in range(2)]
     key = jax.random.PRNGKey(0)
-    first = None
-    for epoch in range(4):
+    losses = []
+    for epoch in range(10):
         for b in batches:
             key, sub = jax.random.split(key)
             m = trainer.train_step(b, sub)
-            if first is None:
-                first = m["loss"]
+            losses.append(m["loss"])
     assert np.isfinite(m["loss"])
-    assert m["loss"] < first, (first, m["loss"])
+    # early-vs-late average (single-step JSA losses are noisy: the
+    # sampled z changes between steps)
+    assert np.mean(losses[-4:]) < np.mean(losses[:4]), losses
     assert 0.0 < m["acceptance_rate"] <= 1.0
     assert len(trainer.sampler.cache) > 0
 
