@@ -105,12 +105,17 @@ def rel_positional_encoding(T, d_model, dtype=jnp.float32):
 
 
 def rel_shift_gather(bd):
-    """(N, H, T, 2T-1) → (N, H, T, T): out[t, j] = bd[t, T-1-t+j]."""
-    T = bd.shape[2]
-    t = jnp.arange(T)[:, None]
-    j = jnp.arange(T)[None, :]
-    idx = T - 1 - t + j  # (T, T)
-    return jnp.take_along_axis(bd, idx[None, None, :, :], axis=-1)
+    """(N, H, T, 2T-1) → (N, H, T, T): out[t, j] = bd[t, T-1-t+j].
+
+    Implemented with the pad-reshape trick (pure layout ops) — TPU
+    lowers large gathers pathologically, so no take_along_axis here.
+    """
+    N, H, T, M = bd.shape  # M = 2T - 1
+    x = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))  # (N,H,T,2T)
+    x = x.reshape(N, H, 2 * T, T)
+    x = x[:, :, 1:, :]                                  # (N,H,2T-1,T)
+    x = x.reshape(N, H, T, 2 * T - 1)
+    return x[..., :T]
 
 
 class RelPositionMultiHeadAttention(nn.Module):

@@ -59,24 +59,81 @@ class DenseDen:
 
     @classmethod
     def from_ngram(cls, lm, num_classes, bos_id=0):
-        """Expand a (≤3)-gram NGramLM over phone ids 1..V-1."""
+        """Expand a (≤3)-gram NGramLM over phone ids 1..V-1.
+
+        Vectorized backoff expansion: build the unigram row once, then
+        per-context rows as bow + parent row overwritten by explicit
+        n-gram entries (instead of V^3 individual logp() calls)."""
         V = num_classes
         BOSs = "<s>"
         EOSs = "</s>"
-        logw = np.full((V, V, V), LOG_EPS, np.float32)
-        final = np.full((V, V), LOG_EPS, np.float32)
 
         def tok(i):
             return BOSs if i == 0 else i
 
+        syms = [tok(i) for i in range(V)]  # index 0 = BOS sentinel
+        NEG = LOG_EPS / LN10  # in log10 domain
+
+        # unigram row over events u in 1..V-1 plus EOS at column V
+        uni = np.full((V + 1,), NEG, np.float64)
+        for u in range(1, V):
+            p = lm.probs[1].get((u,))
+            if p is not None:
+                uni[u] = p
+        pe = lm.probs[1].get((EOSs,))
+        if pe is not None:
+            uni[V] = pe
+
+        order = lm.order
+
+        def expand(ctx, parent_row):
+            """Row for `ctx` (tuple of symbols) given its backoff
+            parent's row."""
+            k = len(ctx)
+            bow = lm.bows[k].get(ctx, 0.0) if k < len(lm.bows) else 0.0
+            row = parent_row + bow
+            probs_k1 = lm.probs[k + 1]
+            for u in range(1, V):
+                p = probs_k1.get(ctx + (u,))
+                if p is not None:
+                    row[u] = p
+            pe = probs_k1.get(ctx + (EOSs,))
+            if pe is not None:
+                row[V] = pe
+            return row
+
+        logw = np.full((V, V, V), LOG_EPS, np.float32)
+        final = np.full((V, V), LOG_EPS, np.float32)
+
+        if order == 1:
+            row = uni * LN10
+            logw[:, :, 1:] = row[1:V].astype(np.float32)
+            final[:, :] = np.float32(row[V])
+            return cls(logw, final)
+
+        # bigram rows per last-context symbol b
+        bi_rows = {}
+        for b in range(V):
+            bi_rows[b] = expand((syms[b],), uni.copy())
+        if order == 2:
+            for b in range(V):
+                row = bi_rows[b] * LN10
+                logw[:, b, 1:] = row[1:V].astype(np.float32)
+                final[:, b] = np.float32(row[V])
+            return cls(logw, final)
+
+        # trigram rows per (a, b); contexts (x, BOS) with x != BOS are
+        # unreachable and stay LOG_EPS
         for a in range(V):
             for b in range(V):
                 if b == 0 and a != 0:
-                    continue  # context (x, BOS) impossible unless both BOS
-                ctx = (tok(a), tok(b))
-                for u in range(1, V):
-                    logw[a, b, u] = lm.logp(ctx, u) * LN10
-                final[a, b] = lm.logp(ctx, EOSs) * LN10
+                    continue
+                ctx = (syms[a], syms[b])
+                # truncate like NGramLM.logp: if (a,b) never occurs as a
+                # stored context, fall back to the bigram row for b
+                row = expand(ctx, bi_rows[b].copy()) * LN10
+                logw[a, b, 1:] = row[1:V].astype(np.float32)
+                final[a, b] = np.float32(row[V])
         return cls(logw, final)
 
     def device_tables(self):

@@ -155,6 +155,51 @@ class Batch:
                     weight=self.weight)
 
 
+class WeightedConcatDataset:
+    """Multiple datasets with sampling weights (manager_wo.py's
+    WeightedConcatDataset for multi-trainset ME2E training). Exposes the
+    SpeechDataset interface; index space is the concatenation, and
+    `sample_indices(rng, n)` draws according to the weights."""
+
+    def __init__(self, datasets, weights=None):
+        self.datasets = list(datasets)
+        self.weights = np.asarray(weights if weights is not None
+                                  else [1.0] * len(self.datasets),
+                                  np.float64)
+        self.weights = self.weights / self.weights.sum()
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+        self.feat_dim = self.datasets[0].feat_dim
+        self.uids = []
+        for d in self.datasets:
+            self.uids.extend(getattr(d, "uids",
+                                     [str(i) for i in range(len(d))]))
+
+    def __len__(self):
+        return int(self.offsets[-1])
+
+    def _locate(self, i):
+        k = int(np.searchsorted(self.offsets, i, side="right") - 1)
+        return self.datasets[k], i - int(self.offsets[k])
+
+    def __getitem__(self, i):
+        d, j = self._locate(i)
+        return d[j]
+
+    def frame_length(self, i):
+        d, j = self._locate(i)
+        return d.frame_length(j)
+
+    def label_length(self, i):
+        d, j = self._locate(i)
+        return d.label_length(j)
+
+    def sample_indices(self, rng, n):
+        ks = rng.choice(len(self.datasets), size=n, p=self.weights)
+        return np.asarray([
+            int(self.offsets[k]) + int(rng.integers(0, len(
+                self.datasets[k]))) for k in ks])
+
+
 class BucketedLoader:
     """Padding-aware bucketed batching with a fixed shape set.
 
