@@ -40,6 +40,16 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: repeated bench runs skip the (very
+    # slow on this backend) XLA compile
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_comp")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
+
     from cat_tpu.ctc.train import build_model, init_state, make_train_step
     from cat_tpu.fst.ngram import train_ngram
     from cat_tpu.ops.crf_dense import DenseDen

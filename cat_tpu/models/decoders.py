@@ -182,6 +182,71 @@ class CausalTransformer(nn.Module):
         return h, lengths
 
 
+class TransformerDecoder(nn.Module):
+    """BERT-style transformer with optional cross-attention, used as the
+    P2G/LLM-P2G decoder (encoder.py:581-639 TransformerDecoder). When
+    `memory` is given, each layer attends to it (encoder-decoder mode);
+    otherwise it is a bidirectional transformer encoder over tokens."""
+
+    vocab_size: int
+    hdim: int = 512
+    num_layers: int = 6
+    num_heads: int = 8
+    ff_dim: int = 2048
+    max_len: int = 2048
+    num_classes: int = 0
+    dropout_rate: float = 0.1
+    with_head: bool = True
+
+    @nn.compact
+    def __call__(self, tokens, lengths=None, memory=None,
+                 memory_lengths=None, deterministic=True):
+        N, U = tokens.shape
+        h = nn.Embed(self.vocab_size, self.hdim, name="embed")(
+            tokens.astype(jnp.int32))
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (self.max_len, self.hdim))
+        h = h + pos[None, :U]
+        if lengths is not None:
+            valid = jnp.arange(U)[None, :] < lengths[:, None]
+            self_mask = (valid[:, None, None, :]
+                         & valid[:, None, :, None])
+        else:
+            self_mask = None
+        if memory is not None and memory_lengths is not None:
+            mvalid = (jnp.arange(memory.shape[1])[None, :]
+                      < memory_lengths[:, None])
+            cross_mask = mvalid[:, None, None, :]
+        else:
+            cross_mask = None
+        for i in range(self.num_layers):
+            a = nn.LayerNorm(name=f"ln1_{i}")(h)
+            a = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads,
+                dropout_rate=self.dropout_rate,
+                deterministic=deterministic,
+                name=f"self_{i}")(a, a, mask=self_mask)
+            h = h + a
+            if memory is not None:
+                c = nn.LayerNorm(name=f"lnx_{i}")(h)
+                c = nn.MultiHeadDotProductAttention(
+                    num_heads=self.num_heads,
+                    dropout_rate=self.dropout_rate,
+                    deterministic=deterministic,
+                    name=f"cross_{i}")(c, memory, mask=cross_mask)
+                h = h + c
+            f = nn.LayerNorm(name=f"ln2_{i}")(h)
+            f = nn.gelu(nn.Dense(self.ff_dim, name=f"ff1_{i}")(f))
+            f = nn.Dense(self.hdim, name=f"ff2_{i}")(f)
+            f = nn.Dropout(self.dropout_rate)(
+                f, deterministic=deterministic)
+            h = h + f
+        h = nn.LayerNorm(name="ln_f")(h)
+        if self.with_head and self.num_classes > 0:
+            h = nn.Dense(self.num_classes, name="head")(h)
+        return h, lengths
+
+
 class ZeroDecoder(nn.Module):
     """Stateless zero predictor — decoder-free transducer
     (decoder.py:630-657)."""

@@ -49,7 +49,9 @@ class MetricLogger:
     def log(self, **kv):
         kv["time"] = time.time()
         with open(self.path, "a") as f:
-            f.write(json.dumps(kv) + "\n")
+            f.write(json.dumps(
+                kv, default=lambda o: o.item()
+                if hasattr(o, "item") else str(o)) + "\n")
         if not self.quiet:
             msg = " | ".join(f"{k}={v:.5g}" if isinstance(v, float)
                              else f"{k}={v}" for k, v in kv.items()
@@ -98,6 +100,7 @@ class Manager:
             "scheduler": self.scheduler.state_dict(),
             "epoch": self.epoch,
             "step": self.global_step,
+            "steps_into_epoch": getattr(self, "_steps_into_epoch", 0),
         }
         return self.ckpt.save(state_dict, metric, self.global_step,
                               self.epoch)
@@ -107,8 +110,16 @@ class Manager:
         self.state = jax.tree_util.tree_map(
             lambda ref, x: jnp.asarray(x), self.state, ck["state"])
         self.scheduler.load_state_dict(ck["scheduler"])
-        self.epoch = ck["epoch"]
-        self.global_step = ck["step"]
+        # plain ints: pickled values round-trip as 0-d numpy arrays,
+        # and in-place += on an aliased array corrupts bookkeeping
+        self.global_step = int(ck["step"])
+        steps_in = int(ck.get("steps_into_epoch", 0))
+        if steps_in > 0:
+            # replay the interrupted epoch, skipping consumed batches
+            self.epoch = int(ck["epoch"]) - 1
+            self._resume_skip_steps = steps_in
+        else:
+            self.epoch = int(ck["epoch"])
 
     def load_init_model(self, path):
         """--init-model: weights only (manager.py:303-318)."""
@@ -130,13 +141,22 @@ class Manager:
 
     def run(self):
         terminated = False
+        # mid-epoch resume: replay the interrupted epoch, skipping
+        # already-consumed steps (manager.py:601-611 step_by_last_epoch)
+        skip = getattr(self, "_resume_skip_steps", 0)
         while not terminated and self.epoch < self.max_epochs:
             self.epoch += 1
+            self._steps_into_epoch = skip
             t_data, t_step = 0.0, 0.0
             t0 = time.time()
             for batch in self.train_loader.epoch(self.epoch):
+                if skip > 0:
+                    skip -= 1
+                    t0 = time.time()
+                    continue
                 t_data += time.time() - t0
                 self.global_step += 1
+                self._steps_into_epoch += 1
                 self.scheduler.update_lr_step(self.global_step)
                 self.rng, sub = jax.random.split(self.rng)
                 t1 = time.time()
@@ -150,6 +170,7 @@ class Manager:
                     if terminated:
                         break
                 t0 = time.time()
+            self._steps_into_epoch = 0  # epoch completed
             if not terminated and self.check_freq <= 0:
                 terminated = self._checkpoint_round(None)
             self.logger.log(epoch=self.epoch, data_s=t_data,
