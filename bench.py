@@ -27,16 +27,16 @@ REF_AUDIO_S_PER_S = 600.0
 
 # Flagship config: Librispeech crf-v1 (egs/libri/exp/crf-v1/config.json —
 # conformer 17 cells x 512, 8 heads, kernel 32, phone vocab 71+1).
-# Batch 32 + remat measured best on v5e (588.6 audio-s/s/chip): larger
-# batches amortize this backend's fixed per-step overhead; 64 exceeds
-# the compile window.
+# Batch 64 + remat measured best on v5e (637.7 audio-s/s/chip; 586 at 32,
+# 189 at 16): larger batches amortize this backend fixed per-step
+# overhead. Compile is slow (~10 min cold) but cached in /root/.cache.
 NUM_CELLS = int(os.environ.get("BENCH_CELLS", "17"))
 HDIM = int(os.environ.get("BENCH_HDIM", "512"))
 VOCAB = 72
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "1600"))  # 16 s utterances
 WARMUP = 2
-STEPS = int(os.environ.get("BENCH_STEPS", "6"))
+STEPS = int(os.environ.get("BENCH_STEPS", "5"))
 
 
 def main():
