@@ -178,11 +178,47 @@ def stage_train(expdir, hyper, config, tok):
                   put_batch=put_batch,
                   max_epochs=opts.get("max_epochs", 100),
                   check_freq=opts.get("check_freq", -1))
+    _write_exp_readme(expdir, hyper, config, state, tok)
     resume = opts.get("resume")
     if resume:
         mgr.resume(resume)
     mgr.run()
+    try:
+        from cat_tpu.utils.plot import plot_monitor
+        plot_monitor(os.path.join(expdir, "check"),
+                     os.path.join(expdir, "monitor.png"))
+    except Exception:
+        pass
     return mgr
+
+
+def _write_exp_readme(expdir, hyper, config, state, tok):
+    """Auto-generated per-experiment readme (param count, device
+    inventory) — coreutils.py:102-166 equivalent."""
+    import jax
+
+    n_params = sum(int(np.prod(p.shape)) for p in
+                   jax.tree_util.tree_leaves(state.params))
+    devices = {}
+    for d in jax.devices():
+        devices[d.device_kind] = devices.get(d.device_kind, 0) + 1
+    lines = [
+        f"# Experiment {os.path.basename(os.path.abspath(expdir))}",
+        "",
+        f"- parameters: {n_params / 1e6:.2f} M",
+        f"- vocabulary: {tok.vocab_size}",
+        f"- loss: {config.get('trainer', {}).get('loss', 'ctc')}",
+        f"- encoder: {config.get('encoder', {}).get('type')}",
+        "- devices: " + ", ".join(f"{k} x{v}"
+                                  for k, v in devices.items()),
+        "",
+        "## Settings",
+        "```json",
+        json.dumps(config, indent=1),
+        "```",
+    ]
+    with open(os.path.join(expdir, "readme.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
 
 
 def build_den(expdir, hyper, tok, tr_ds):

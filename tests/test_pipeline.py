@@ -23,7 +23,7 @@ def test_pipeline_yesno_ctc(tmp_path):
 
     rng = np.random.default_rng(0)
     data_dir = tmp_path / "data"
-    for split, n in (("train", 24), ("dev", 8)):
+    for split, n in (("train", 48), ("dev", 10)):
         d = data_dir / split
         wav_d = d / "wav"
         wav_d.mkdir(parents=True)
@@ -51,20 +51,20 @@ def test_pipeline_yesno_ctc(tmp_path):
                       "option-init": {"level": "word"},
                       "file": "tokenizer.tknz"},
         "train": {"bin": "cat_tpu.ctc.train",
-                  "option": {"frame_budget": 1500, "num_buckets": 2,
-                             "max_epochs": 12, "seed": 0}},
+                  "option": {"frame_budget": 500, "num_buckets": 2,
+                             "max_epochs": 100, "seed": 0}},
         "inference": {"split": "dev",
                       "decode": {"beam_width": 4}},
     }
     config = {
         "trainer": {"loss": "ctc"},
         "encoder": {"type": "LSTM",
-                    "kwargs": {"hdim": 24, "num_layers": 1,
+                    "kwargs": {"hdim": 32, "num_layers": 1,
                                "bidirectional": True,
                                "dropout_rate": 0.0}},
         "scheduler": {
             "type": "SchedulerEarlyStop",
-            "kwargs": {"min_step": 25, "stop_lr": 3e-4, "n_tol": 1,
+            "kwargs": {"min_step": 400, "stop_lr": 3e-4, "n_tol": 2,
                        "gamma": 0.3},
             "optimizer": {"type": "Adam", "kwargs": {"lr": 5e-3}}},
     }
