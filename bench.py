@@ -33,10 +33,10 @@ REF_AUDIO_S_PER_S = 600.0
 NUM_CELLS = int(os.environ.get("BENCH_CELLS", "17"))
 HDIM = int(os.environ.get("BENCH_HDIM", "512"))
 VOCAB = 72
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+BATCH = int(os.environ.get("BENCH_BATCH", "96"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "1600"))  # 16 s utterances
 WARMUP = 2
-STEPS = int(os.environ.get("BENCH_STEPS", "5"))
+STEPS = int(os.environ.get("BENCH_STEPS", "4"))
 
 
 def main():

@@ -95,6 +95,64 @@ class WfstDecoder:
             kept = {t.state: t for t in ranked[: self.max_active]}
         return kept
 
+    def decode_native(self, log_probs, length, max_out=1024):
+        """1-best decode through the C++ core (cat_tpu/native/
+        wfst_decoder.cpp) — same semantics as decode()[0], built for
+        long utterances / big graphs. Returns (score, [word_ids])."""
+        import ctypes
+
+        from cat_tpu.native import wfst_lib
+
+        if not hasattr(self, "_native_tabs"):
+            e_src, e_dst, e_lab, e_ol, e_w = [], [], [], [], []
+            n_src, n_dst, n_ol, n_w = [], [], [], []
+            for s in range(len(self.emit)):
+                for dst, am, ol, w in self.emit[s]:
+                    e_src.append(s)
+                    e_dst.append(dst)
+                    e_lab.append(am)
+                    e_ol.append(ol)
+                    e_w.append(w)
+                for dst, ol, w in self.eps[s]:
+                    n_src.append(s)
+                    n_dst.append(dst)
+                    n_ol.append(ol)
+                    n_w.append(w)
+            fw = np.full((len(self.emit),), NEG_INF, np.float32)
+            for s, w in self.finals.items():
+                fw[s] = w
+            i32 = lambda x: np.ascontiguousarray(x, np.int32)
+            f32 = lambda x: np.ascontiguousarray(x, np.float32)
+            self._native_tabs = (
+                i32(e_src), i32(e_dst), i32(e_lab), i32(e_ol), f32(e_w),
+                i32(n_src), i32(n_dst), i32(n_ol), f32(n_w), f32(fw))
+        (e_src, e_dst, e_lab, e_ol, e_w, n_src, n_dst, n_ol, n_w,
+         fw) = self._native_tabs
+        lib = wfst_lib()
+        lp = np.ascontiguousarray(np.asarray(log_probs)[: int(length)],
+                                  np.float32)
+        out_words = np.zeros((max_out,), np.int32)
+        out_score = np.zeros((1,), np.float32)
+
+        def p(a, ty):
+            return a.ctypes.data_as(ty)
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        n = lib.wfst_viterbi(
+            p(e_src, i32p), p(e_dst, i32p), p(e_lab, i32p),
+            p(e_ol, i32p), p(e_w, f32p), len(e_src),
+            p(n_src, i32p), p(n_dst, i32p), p(n_ol, i32p),
+            p(n_w, f32p), len(n_src),
+            len(self.emit), self.start, p(fw, f32p),
+            p(lp, f32p), lp.shape[0], lp.shape[1],
+            ctypes.c_float(self.beam), self.max_active,
+            ctypes.c_float(self.ac_scale),
+            p(out_words, i32p), max_out, p(out_score, f32p))
+        if n < 0:
+            return (NEG_INF, [])
+        return (float(out_score[0]), [int(w) for w in out_words[:n]])
+
     def decode(self, log_probs, length, nbest=1):
         """log_probs: (T, V) AM outputs. Returns list of
         (score, [word_ids]) best-first."""
