@@ -8,7 +8,7 @@ output is logits over num_classes.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -272,6 +272,78 @@ class ConformerLSTM(nn.Module):
         if self.with_head and self.num_classes > 0:
             h = nn.Dense(self.num_classes, name="classifier")(h)
         return h, lengths
+
+
+class JoinAPLinearEncoder(nn.Module):
+    """Phonological-vector output layer (encoder.py:498-543, Whistle):
+    logits = enc(x) @ (A·P)ᵀ where P (Np, Dp) is a fixed phonological
+    feature matrix and A is learned. Enables multilingual phoneme
+    sharing (cv-lang10 recipes)."""
+
+    pv_path: str = ""
+    enc_head_type: str = "LSTM"
+    enc_head_kwargs: Any = None
+    num_classes: int = 0  # injected; must equal P.shape[0]
+    with_head: bool = True
+
+    def setup(self):
+        import numpy as np
+
+        kw = dict(self.enc_head_kwargs or {})
+        kw["with_head"] = False
+        kw.pop("num_classes", None)
+        self.enc_head = globals()[self.enc_head_type](**kw)
+        self.P = jnp.asarray(np.load(self.pv_path), jnp.float32)
+        self._a = nn.Dense(self._hdim(kw), name="A")
+
+    def _hdim(self, kw):
+        h = kw.get("hdim", 512)
+        if self.enc_head_type == "LSTM" and kw.get("bidirectional",
+                                                   True):
+            return 2 * h
+        return h
+
+    def ap(self):
+        return self._a(self.P)  # (Np, H)
+
+    def __call__(self, x, lengths, deterministic=True):
+        h, lengths = self.enc_head(x, lengths,
+                                   deterministic=deterministic)
+        return h @ self.ap().T, lengths
+
+
+class JoinAPNonLinearEncoder(nn.Module):
+    """Nonlinear variant (encoder.py:545-579): AP = A2(σ(A1·P))."""
+
+    pv_path: str = ""
+    ap_hdim: int = 512
+    enc_head_type: str = "LSTM"
+    enc_head_kwargs: Any = None
+    num_classes: int = 0
+    with_head: bool = True
+
+    def setup(self):
+        import numpy as np
+
+        kw = dict(self.enc_head_kwargs or {})
+        kw["with_head"] = False
+        kw.pop("num_classes", None)
+        self.enc_head = globals()[self.enc_head_type](**kw)
+        self.P = jnp.asarray(np.load(self.pv_path), jnp.float32)
+        h = kw.get("hdim", 512)
+        if self.enc_head_type == "LSTM" and kw.get("bidirectional",
+                                                   True):
+            h = 2 * h
+        self.A1 = nn.Dense(self.ap_hdim, name="A1")
+        self.A2 = nn.Dense(h, name="A2")
+
+    def ap(self):
+        return self.A2(nn.sigmoid(self.A1(self.P)))
+
+    def __call__(self, x, lengths, deterministic=True):
+        h, lengths = self.enc_head(x, lengths,
+                                   deterministic=deterministic)
+        return h @ self.ap().T, lengths
 
 
 class EmbeddingEncoder(nn.Module):

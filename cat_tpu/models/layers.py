@@ -125,6 +125,9 @@ class RelPositionMultiHeadAttention(nn.Module):
     d_model: int
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    # attention context window (left, right) in frames; -1 = unlimited.
+    # (right=0 → causal; both bounded → streaming-chunk friendly)
+    context: tuple = (-1, -1)
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
@@ -154,6 +157,16 @@ class RelPositionMultiHeadAttention(nn.Module):
         # mask: (N, T) valid; softmax in f32 for stability
         neg = jnp.finfo(jnp.float32).min
         scores = jnp.where(mask[:, None, None, :], scores, neg)
+        left, right = self.context
+        if left >= 0 or right >= 0:
+            t_q = jnp.arange(T)[:, None]
+            t_k = jnp.arange(T)[None, :]
+            band = jnp.ones((T, T), bool)
+            if left >= 0:
+                band &= t_k >= t_q - left
+            if right >= 0:
+                band &= t_k <= t_q + right
+            scores = jnp.where(band[None, None, :, :], scores, neg)
         attn = jax.nn.softmax(scores, axis=-1)
         attn = jnp.where(mask[:, None, :, None], attn, 0.0)
         attn = nn.Dropout(self.dropout_rate)(attn,
@@ -257,6 +270,7 @@ class ConformerCell(nn.Module):
     use_batchnorm: bool = True
     causal_conv: bool = False
     dtype: Any = jnp.float32
+    attention_context: tuple = (-1, -1)
 
     @nn.compact
     def __call__(self, x, lengths, deterministic=True):
@@ -267,7 +281,8 @@ class ConformerCell(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32)(x)
         x = x + RelPositionMultiHeadAttention(
             self.num_heads, self.d_model, self.dropout_rate,
-            dtype=self.dtype)(h, mask, deterministic)
+            dtype=self.dtype,
+            context=self.attention_context)(h, mask, deterministic)
         x = x + ConvModule(self.d_model, self.kernel_size,
                            self.dropout_rate, self.use_batchnorm,
                            self.causal_conv,
