@@ -97,8 +97,10 @@ def init_state(model, tx, feat_dim: int, rng=None) -> TrainState:
 
 
 def make_loss_fn(model, specaug_cfg: Optional[dict] = None,
-                 joiner_normalized: bool = False):
-    """joiner_normalized: True for HAT (already log-probs)."""
+                 joiner_normalized: bool = False, topo: str = "rnnt"):
+    """joiner_normalized: True for HAT (already log-probs).
+    topo: 'rnnt' (standard) or 'rna'/'ctct' (monotonic, every emission
+    consumes a frame — cat/rnnt/train.py:210 topo option)."""
 
     def loss_fn(params, batch_stats, batch, rng, train):
         feats = batch["feats"]
@@ -123,8 +125,16 @@ def make_loss_fn(model, specaug_cfg: Optional[dict] = None,
         lp = logits.astype(jnp.float32)
         if not joiner_normalized:
             lp = jax.nn.log_softmax(lp, axis=-1)
-        per_seq = rnnt_loss(lp, batch["labels"], olens,
-                            batch["label_lengths"], reduction="none")
+        if topo in ("rna", "ctct"):
+            from cat_tpu.ops.rnnt_rna import rnnt_loss_rna
+
+            per_seq = rnnt_loss_rna(lp, batch["labels"], olens,
+                                    batch["label_lengths"],
+                                    reduction="none")
+        else:
+            per_seq = rnnt_loss(lp, batch["labels"], olens,
+                                batch["label_lengths"],
+                                reduction="none")
         w = batch["weight"]
         loss = jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, (new_stats, per_seq)
@@ -133,10 +143,10 @@ def make_loss_fn(model, specaug_cfg: Optional[dict] = None,
 
 
 def make_train_step(model, tx, specaug_cfg=None, grad_clip=5.0,
-                    joiner_normalized=False):
+                    joiner_normalized=False, topo="rnnt"):
     from cat_tpu.ctc.train import set_lr
 
-    loss_fn = make_loss_fn(model, specaug_cfg, joiner_normalized)
+    loss_fn = make_loss_fn(model, specaug_cfg, joiner_normalized, topo)
 
     @jax.jit
     def train_step(state: TrainState, batch, lr, rng):
