@@ -117,12 +117,27 @@ class BeamformerNet(nn.Module):
     fft_size: int = 512
     mask_hidden: int = 256
     ref_channel: int = 0
+    use_wpe: bool = False               # WPE dereverb before beamforming
+    use_dnn_mask_for_wpe: bool = True   # beamformer_net.py:97-103
+    wpe_taps: int = 5
+    wpe_delay: int = 3
+    wpe_iterations: int = 1
 
     @nn.compact
     def __call__(self, wave, wave_lengths, deterministic=True):
         stft = Stft(self.frame_length, self.frame_shift, self.fft_size)
         spec = stft(wave)                              # (N, C, T, F)
         frame_lengths = stft.num_frames(wave_lengths).astype(jnp.int32)
+        if self.use_wpe:
+            from cat_tpu.front.wpe import DnnWpe, wpe
+
+            if self.use_dnn_mask_for_wpe:
+                spec, _ = DnnWpe(self.wpe_taps, self.wpe_delay,
+                                 self.wpe_iterations, self.mask_hidden)(
+                    spec, frame_lengths, deterministic)
+            else:
+                spec = wpe(spec, frame_lengths, self.wpe_taps,
+                           self.wpe_delay, max(self.wpe_iterations, 3))
         ref_pow = jnp.abs(spec[:, self.ref_channel]) ** 2  # (N, T, F)
         log_pow = jnp.log(jnp.maximum(ref_pow, 1e-10))
         m_s, m_n = MaskNet(self.mask_hidden)(log_pow, frame_lengths,
