@@ -45,10 +45,16 @@ class LSTMPredictor(nn.Module):
     dropout_rate: float = 0.0
     with_head: bool = False
     tied: bool = False
+    # char→syllable converter (static tuple) enables the syllable-
+    # enhanced variant (decoder.py:796-834 SyllableEnhancedLSTM)
+    syllable_converter: Optional[tuple] = None
 
     def setup(self):
         edim = self.edim or self.hdim
         self.embed = nn.Embed(self.vocab_size, edim)
+        if self.syllable_converter is not None:
+            n_syl = max(self.syllable_converter) + 1
+            self.syl_embed = nn.Embed(n_syl, edim)
         layers = []
         glorot = nn.initializers.xavier_uniform()
         ortho = nn.initializers.orthogonal()
@@ -73,8 +79,16 @@ class LSTMPredictor(nn.Module):
             return h @ self.embed.embedding.T
         return self.classifier(h)
 
+    def _embed(self, tokens):
+        tokens = tokens.astype(jnp.int32)
+        x = self.embed(tokens)
+        if self.syllable_converter is not None:
+            conv = jnp.asarray(self.syllable_converter, jnp.int32)
+            x = x + self.syl_embed(conv[tokens])
+        return x
+
     def __call__(self, tokens, lengths=None, deterministic=True):
-        x = self.embed(tokens.astype(jnp.int32))
+        x = self._embed(tokens)
         N, U = tokens.shape
         for i, lp in enumerate(self.layers):
             carry = (jnp.zeros((N, self.hdim), x.dtype),
@@ -95,7 +109,7 @@ class LSTMPredictor(nn.Module):
 
     def step(self, tokens, state):
         """One decode step. tokens (N,) → (out (N,D), new_state)."""
-        x = self.embed(tokens.astype(jnp.int32))
+        x = self._embed(tokens)
         new_state = []
         for lp, st in zip(self.layers, state):
             st, x = _lstm_step(lp, st, x)
@@ -197,6 +211,7 @@ class TransformerDecoder(nn.Module):
     num_classes: int = 0
     dropout_rate: float = 0.1
     with_head: bool = True
+    causal: bool = False  # autoregressive mode (LLM-P2G decoder)
 
     @nn.compact
     def __call__(self, tokens, lengths=None, memory=None,
@@ -213,6 +228,9 @@ class TransformerDecoder(nn.Module):
                          & valid[:, None, :, None])
         else:
             self_mask = None
+        if self.causal:
+            tri = jnp.tril(jnp.ones((U, U), bool))[None, None]
+            self_mask = tri if self_mask is None else (self_mask & tri)
         if memory is not None and memory_lengths is not None:
             mvalid = (jnp.arange(memory.shape[1])[None, :]
                       < memory_lengths[:, None])
@@ -263,3 +281,11 @@ class ZeroDecoder(nn.Module):
 
     def step(self, tokens, state):
         return jnp.zeros((tokens.shape[0], self.hdim)), state
+
+
+def SyllableEnhancedLSTM(vocab_size, syllable_converter, **kw):
+    """Config-reflection alias (decoder.py:796-834): LSTM predictor whose
+    embedding is char + syllable (layer.py SyllableEmbedding)."""
+    return LSTMPredictor(vocab_size=vocab_size,
+                         syllable_converter=tuple(syllable_converter),
+                         **kw)

@@ -339,3 +339,58 @@ class TDNNLayer(nn.Module):
             lengths = jnp.maximum(
                 (lengths + self.stride - 1) // self.stride, 1)
         return h, lengths
+
+
+class SyllableEmbedding(nn.Module):
+    """Char embedding + syllable embedding of the mapped char
+    (layer.py:956-974 SyllableEmbedding; the converter table maps char
+    id → syllable id, generated offline e.g. via pypinyin).
+
+    `converter` is a static tuple of ints of length num_classes."""
+
+    num_classes: int
+    dim_emb: int
+    converter: tuple
+    num_syllables: int = 0
+
+    @nn.compact
+    def __call__(self, x):
+        n_syl = self.num_syllables or (max(self.converter) + 1)
+        conv = jnp.asarray(self.converter, jnp.int32)
+        char = nn.Embed(self.num_classes, self.dim_emb,
+                        name="char_embedding")(x.astype(jnp.int32))
+        syl = nn.Embed(n_syl, self.dim_emb, name="syllable_embedding")(
+            conv[x.astype(jnp.int32)])
+        return char + syl
+
+
+def sampled_softmax(logits, labels, n_uniform=0, rng=None):
+    """Static-shape sampled softmax (layer.py:894-954 SampledSoftmax).
+
+    Restricts the softmax support to the classes present in `labels`
+    (plus `n_uniform` uniformly drawn classes), reducing the (..., V)
+    normalization to (..., S). The reference uses torch.unique (dynamic
+    shape); here S = labels.size + n_uniform is static and duplicate
+    candidates are masked to -inf so each class is counted once.
+
+    Returns (sampled_logits (..., S), remapped_labels) such that
+    cross_entropy(sampled_logits, remapped_labels) is the sampled loss.
+    """
+    flat = labels.reshape(-1).astype(jnp.int32)
+    cands = flat
+    if n_uniform > 0:
+        assert rng is not None
+        V = logits.shape[-1]
+        extra = jax.random.randint(rng, (n_uniform,), 0, V)
+        cands = jnp.concatenate([cands, extra])
+    order = jnp.argsort(cands)
+    sorted_c = cands[order]
+    # first occurrence mask over the sorted candidates
+    is_dup = jnp.concatenate([jnp.zeros((1,), bool),
+                              sorted_c[1:] == sorted_c[:-1]])
+    gathered = jnp.take(logits, sorted_c, axis=-1)
+    neg = jnp.finfo(logits.dtype).min
+    sampled_logits = jnp.where(is_dup, neg, gathered)
+    # each label → index of its first occurrence in sorted_c
+    remapped = jnp.searchsorted(sorted_c, flat).astype(jnp.int32)
+    return sampled_logits, remapped.reshape(labels.shape)

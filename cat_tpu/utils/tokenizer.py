@@ -210,6 +210,130 @@ class BpeTokenizer(AbsTokenizer):
         return s.replace(SPM_SPACE, " ").strip()
 
 
+class JiebaTokenizer(AbsTokenizer):
+    """Chinese word segmenter + word-level tokenizer.
+
+    Counterpart of tokenizer.py:229-289 (JiebaTokenizer). jieba's
+    HMM=False path — the only one the reference uses (tokenizer.py:275)
+    — is dictionary DAG max-probability segmentation, reimplemented here
+    self-contained (no jieba dependency):
+
+    For a sentence, every dictionary word starting at each position
+    forms a DAG edge; dynamic programming right-to-left maximizes
+    Σ log(freq/total). Characters not covered by any word are emitted
+    as single-char tokens (frequency 1, like jieba's unseen-word
+    default).
+
+    userdict: path to a "word freq" per-line file, or {word: freq}.
+    """
+
+    def __init__(self, userdict, bos_id=0, bos="<s>", unk="<unk>"):
+        if isinstance(userdict, str):
+            freq = {}
+            with open(userdict) as f:
+                for line in f:
+                    parts = line.split()
+                    if not parts:
+                        continue
+                    freq[parts[0]] = int(parts[1]) if len(parts) > 1 else 1
+        else:
+            freq = dict(userdict)
+        self.freq = freq
+        # jieba registers all prefixes of dict words with freq 0 so the
+        # DAG builder can stop scanning early
+        self._prefixes = set()
+        for w in freq:
+            for i in range(1, len(w)):
+                self._prefixes.add(w[:i])
+        self.total = max(sum(freq.values()), 1)
+        self.bos, self.unk = bos, unk
+        unk_id = 0 if bos_id == 1 else 1
+        words = sorted(freq)
+        if bos_id == -1:
+            bos_id = len(words) + 1
+        self._i2t = [None] * (len(words) + 2)
+        self._i2t[bos_id], self._i2t[unk_id] = bos, unk
+        it = iter(words)
+        for i in range(len(self._i2t)):
+            if self._i2t[i] is None:
+                self._i2t[i] = next(it)
+        self._t2i = {t: i for i, t in enumerate(self._i2t)}
+
+    def cut(self, s):
+        """Max-probability dictionary segmentation (HMM-free jieba)."""
+        import math
+
+        s = s.strip()
+        n = len(s)
+        if n == 0:
+            return
+        # DAG[i] = list of j such that s[i:j+1] is a dict word (or i
+        # itself as a single char)
+        dag = {}
+        for i in range(n):
+            ends = []
+            j = i
+            frag = ""
+            while j < n:
+                frag = frag + s[j]
+                if frag in self.freq:
+                    ends.append(j)
+                elif frag not in self._prefixes:
+                    break
+                j += 1
+            if not ends:
+                ends = [i]
+            dag[i] = ends
+        logtotal = math.log(self.total)
+        route = [None] * (n + 1)
+        route[n] = (0.0, 0)
+        for i in range(n - 1, -1, -1):
+            route[i] = max(
+                (math.log(self.freq.get(s[i:j + 1]) or 1) - logtotal
+                 + route[j + 1][0], j)
+                for j in dag[i])
+        i = 0
+        while i < n:
+            j = route[i][1] + 1
+            w = s[i:j]
+            if w != " ":
+                yield w
+            i = j
+
+    @property
+    def vocab_size(self):
+        return len(self._i2t)
+
+    def _encode(self, text):
+        unk = self._t2i[self.unk]
+        return [self._t2i.get(w, unk) for w in self.cut(text)]
+
+    def _decode(self, ids):
+        return "".join(self._i2t[i] for i in ids
+                       if 0 <= i < len(self._i2t)
+                       and self._i2t[i] not in (self.bos, self.unk))
+
+
+class JiebaComposeLexiconTokenizer(AbsTokenizer):
+    """Jieba segmentation composed with word→phone mapping
+    (tokenizer.py:327-430). The vocab is the phone set."""
+
+    def __init__(self, lexicon, userdict, bos="<s>", unk="<unk>"):
+        self._seg = JiebaTokenizer(userdict, bos=bos, unk=unk)
+        self._w2p = LexiconTokenizer(lexicon, bos=bos, unk=unk)
+        self.bos, self.unk = bos, unk
+
+    @property
+    def vocab_size(self):
+        return self._w2p.vocab_size
+
+    def _encode(self, text):
+        return self._w2p._encode(" ".join(self._seg.cut(text)))
+
+    def _decode(self, ids):
+        return self._w2p._decode(ids)
+
+
 class RawTokenizer(AbsTokenizer):
     """Identity over whitespace-separated integer ids
     (tokenizer.py RawTokenizer)."""
@@ -254,6 +378,17 @@ def initialize(cfg: dict) -> AbsTokenizer:
         return LexiconTokenizer(lexicon)
     if ttype == "RawTokenizer":
         return RawTokenizer(opts["vocab_size"])
+    if ttype == "JiebaTokenizer":
+        return JiebaTokenizer(opts["userdict"],
+                              bos_id=opts.get("bos_id", 0))
+    if ttype == "JiebaComposeLexiconTokenizer":
+        lexicon = {}
+        with open(opts["lexicon"]) as f:
+            for line in f:
+                parts = line.split()
+                if parts and parts[0] not in lexicon:
+                    lexicon[parts[0]] = parts[1:]
+        return JiebaComposeLexiconTokenizer(lexicon, opts["userdict"])
     raise ValueError(f"unknown tokenizer type {ttype}")
 
 

@@ -124,3 +124,56 @@ def test_joiners():
     vl = jax.jit(la.init)(jax.random.PRNGKey(0), enc, pr)
     e, p = jax.jit(la.apply)(vl, enc, pr)
     assert e.shape == (2, 6, 8) and p.shape == (2, 4, 8)
+
+
+def test_syllable_embedding_and_lstm():
+    import jax
+    import jax.numpy as jnp
+    from cat_tpu.models.layers import SyllableEmbedding
+    from cat_tpu.models.decoders import SyllableEnhancedLSTM
+
+    conv = (0, 1, 1, 2, 0)  # 5 chars → 3 syllables
+    emb = SyllableEmbedding(num_classes=5, dim_emb=8, converter=conv)
+    x = jnp.array([[1, 2, 3]])
+    p = emb.init(jax.random.PRNGKey(0), x)
+    out = emb.apply(p, x)
+    assert out.shape == (1, 3, 8)
+    # chars 1 and 2 share a syllable: outputs differ only by char embed
+    w = p["params"]
+    d12 = out[0, 0] - out[0, 1]
+    expect = (w["char_embedding"]["embedding"][1]
+              - w["char_embedding"]["embedding"][2])
+    assert jnp.allclose(d12, expect, atol=1e-6)
+
+    dec = SyllableEnhancedLSTM(5, conv, hdim=16, num_classes=5,
+                               with_head=True)
+    toks = jnp.array([[1, 2, 3, 4]])
+    p = jax.jit(dec.init)(jax.random.PRNGKey(0), toks)
+    logits, _ = jax.jit(dec.apply)(p, toks)
+    assert logits.shape == (1, 4, 5)
+
+
+def test_sampled_softmax_matches_full_on_support():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from cat_tpu.models.layers import sampled_softmax
+
+    rng = np.random.default_rng(0)
+    V = 50
+    logits = jnp.asarray(rng.standard_normal((2, 3, V)).astype(np.float32))
+    labels = jnp.asarray([[3, 7, 3], [7, 9, 9]])
+    slog, remap = sampled_softmax(logits, labels)
+    assert slog.shape[-1] == labels.size
+    # log-softmax over the sampled support == full softmax restricted
+    # and renormalized over the unique label classes {3, 7, 9}
+    uniq = [3, 7, 9]
+    sub = np.asarray(logits)[..., uniq]
+    want = sub - np.log(np.exp(sub).sum(-1, keepdims=True))
+    got = np.asarray(jax.nn.log_softmax(slog, axis=-1))
+    for n in range(2):
+        for t in range(3):
+            lab = int(np.asarray(labels)[n, t])
+            k = int(np.asarray(remap)[n, t])
+            assert np.isclose(got[n, t, k], want[n, t, uniq.index(lab)],
+                              atol=1e-5)

@@ -142,3 +142,41 @@ def test_checkpoint_manager(tmp_path):
              if os.path.exists(cm.path(e[0]))]
     avg = average_checkpoints(paths, key="params")
     assert np.isfinite(avg["w"]).all()
+
+
+def test_jieba_tokenizer_max_prob_segmentation():
+    from cat_tpu.utils.tokenizer import JiebaTokenizer
+
+    # 研究(10)+生命(10) must beat 研究生(8)+命(2)
+    d = {"研究": 10, "研究生": 8, "生命": 10, "命": 2, "起源": 6}
+    tok = JiebaTokenizer(d)
+    assert list(tok.cut("研究生命起源")) == ["研究", "生命", "起源"]
+    # greedy-longest would take 研究生; max-prob must not
+    ids = tok.encode("研究生命")
+    assert tok.decode(ids) == "研究生命"
+    # unseen char becomes single-char token → unk id
+    assert tok.encode("研究X")[-1] == tok._t2i[tok.unk]
+
+
+def test_jieba_tokenizer_userdict_file(tmp_path):
+    from cat_tpu.utils.tokenizer import JiebaTokenizer, initialize
+
+    p = tmp_path / "dict.txt"
+    p.write_text("今天 12\n天气 8\n真好 5\n", encoding="utf-8")
+    tok = initialize({"type": "JiebaTokenizer",
+                      "option-init": {"userdict": str(p)}})
+    assert list(tok.cut("今天天气真好")) == ["今天", "天气", "真好"]
+    q = str(tmp_path / "t.tknz")
+    tok.save(q)
+    tok2 = AbsTokenizer.load(q)
+    assert tok2.encode("今天天气") == tok.encode("今天天气")
+
+
+def test_jieba_compose_lexicon():
+    from cat_tpu.utils.tokenizer import JiebaComposeLexiconTokenizer
+
+    lex = {"今天": ["j", "t"], "天气": ["t", "q"]}
+    tok = JiebaComposeLexiconTokenizer(lex, {"今天": 5, "天气": 5})
+    ids = tok.encode("今天天气")
+    assert len(ids) == 4
+    assert tok.decode(ids) == "j t t q"
