@@ -22,18 +22,23 @@ NEG_INF = -1e30
 
 
 def build_tlg(lexicon, word_lm, phone2id, word2id, num_classes,
-              blank=0):
-    """T ∘ (L ∘ G): the decoding graph (build_decoding_graph.sh:87-129).
+              blank=0, optimize=True):
+    """T ∘ min(det(L ∘ G)): the decoding graph
+    (build_decoding_graph.sh:87-129, incl. the fstdeterminizestar |
+    fstminimizeencoded pass at :121-122).
 
     lexicon: list of (word, [phones]); word_lm: NGramLM over words;
     phone2id/word2id: symbol tables (ids > 0).
     """
-    from cat_tpu.fst.fst import compose, connect
+    from cat_tpu.fst.fst import (compose, connect, determinize_star,
+                                 minimize_encoded)
     from cat_tpu.fst.graph import arpa_to_fst, ctc_topo, lexicon_fst
 
     G = arpa_to_fst(word_lm, sym2id=word2id)
     L = lexicon_fst(lexicon, word2id, phone2id)
-    LG = compose(L, G)
+    LG = connect(compose(L, G))
+    if optimize:
+        LG = minimize_encoded(determinize_star(LG))
     T = ctc_topo(num_classes, blank)
     return connect(compose(T, LG))
 

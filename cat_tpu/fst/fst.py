@@ -292,3 +292,179 @@ def rm_epsilon(fst: Fst) -> Fst:
         if fin > NEG_INF / 2:
             out.set_final(s, fin)
     return connect(out)
+
+
+def determinize_star(fst: Fst, max_states: int = 1_000_000,
+                     wquant: float = 1e-6) -> Fst:
+    """Weighted transducer determinization with input-ε removal.
+
+    Equivalent of Kaldi's `fstdeterminizestar` used in the TLG build
+    (build_decoding_graph.sh:121): subset construction over
+    (state, residual weight, residual output string) triples in the
+    max/tropical semiring (decode-time Viterbi semantics), where
+    input-ε arcs are folded into the closure instead of being emitted.
+    Output strings longer than one label are factored into chains of
+    input-ε arcs (Kaldi does the same). Requires a determinizable input
+    (true for disambiguated L∘G); guarded by `max_states`.
+    """
+    q = lambda w: round(w / wquant) * wquant
+
+    def closure(elems):
+        """ε-input closure keeping the best weight per (state, out)."""
+        best = {}
+        stack = list(elems)
+        for s, w, o in stack:
+            k = (s, o)
+            if k not in best or w > best[k]:
+                best[k] = w
+        while stack:
+            s, w, o = stack.pop()
+            if best.get((s, o), NEG_INF) > w:
+                continue
+            for src, dst, il, ol, aw in by_src[s]:
+                if il != EPS:
+                    continue
+                no = o + ((ol,) if ol != EPS else ())
+                nw = w + aw
+                k = (dst, no)
+                if nw > best.get(k, NEG_INF) + wquant / 2:
+                    best[k] = nw
+                    stack.append((dst, nw, no))
+        return tuple(sorted((s, q(w), o) for (s, o), w in best.items()))
+
+    def normalize(elems):
+        """Pull out the max weight and the longest common output
+        prefix; return (key, w, prefix)."""
+        wmax = max(w for _, w, _ in elems)
+        outs = [o for _, _, o in elems]
+        prefix = outs[0]
+        for o in outs[1:]:
+            n = 0
+            while n < len(prefix) and n < len(o) and prefix[n] == o[n]:
+                n += 1
+            prefix = prefix[:n]
+        key = tuple(sorted((s, q(w - wmax), o[len(prefix):])
+                           for s, w, o in elems))
+        return key, wmax, prefix
+
+    by_src = [[] for _ in range(fst.num_states)]
+    for a in fst.arcs:
+        by_src[a[0]].append(a)
+
+    out = Fst()
+    init = closure([(fst.start, 0.0, ())])
+    key0, w0, pre0 = normalize(init)
+    # initial residual prefix/weight folded into a chain from a new start
+    subsets = {key0: out.add_state()}
+    out.start = subsets[key0]
+    if pre0 or abs(w0) > 0:
+        # residual initial weight/outputs ride an ε-input chain from a
+        # fresh start state, weight on the first arc
+        s0 = out.add_state()
+        prev, first = s0, True
+        for ol in pre0[:-1]:
+            nxt = out.add_state()
+            out.add_arc(prev, nxt, EPS, ol, w0 if first else 0.0)
+            prev, first = nxt, False
+        out.add_arc(prev, subsets[key0], EPS,
+                    pre0[-1] if pre0 else EPS, w0 if first else 0.0)
+        out.start = s0
+    work = [key0]
+    keyof = {subsets[key0]: key0}
+
+    def emit_chain(src_state, dst_state, ilabel, outs, w):
+        """Arc with output string `outs` factored via ε-input chain."""
+        if len(outs) <= 1:
+            out.add_arc(src_state, dst_state, ilabel,
+                        outs[0] if outs else EPS, w)
+            return
+        prev = src_state
+        for i, ol in enumerate(outs[:-1]):
+            nxt = out.add_state()
+            out.add_arc(prev, nxt, ilabel if i == 0 else EPS, ol,
+                        w if i == 0 else 0.0)
+            prev = nxt
+        out.add_arc(prev, dst_state, EPS, outs[-1], 0.0)
+
+    while work:
+        key = work.pop()
+        sid = subsets[key]
+        # final weight: best over final elements; residual outputs of
+        # final elements become ε-input chains into a fresh final state
+        for s, w, o in key:
+            if s in fst.finals:
+                fw = w + fst.finals[s]
+                if not o:
+                    cur = out.finals.get(sid, NEG_INF)
+                    out.finals[sid] = max(cur, fw)
+                else:
+                    fin = out.add_state()
+                    out.set_final(fin, 0.0)
+                    emit_chain(sid, fin, EPS, o, fw)
+        # group outgoing non-ε-input transitions by input label
+        trans = {}
+        for s, w, o in key:
+            for src, dst, il, ol, aw in by_src[s]:
+                if il == EPS:
+                    continue
+                no = o + ((ol,) if ol != EPS else ())
+                trans.setdefault(il, []).append((dst, w + aw, no))
+        for il, elems in sorted(trans.items()):
+            cl = closure(elems)
+            nkey, w, prefix = normalize(cl)
+            if nkey not in subsets:
+                if len(subsets) >= max_states:
+                    raise RuntimeError(
+                        "determinize_star: state budget exceeded "
+                        "(input may not be determinizable)")
+                subsets[nkey] = out.add_state()
+                work.append(nkey)
+            emit_chain(sid, subsets[nkey], il, prefix, w)
+    return out
+
+
+def minimize_encoded(fst: Fst, wquant: float = 1e-6) -> Fst:
+    """Minimization treating (ilabel, olabel, weight) as an encoded
+    label — Kaldi's `fstminimizeencoded` (build_decoding_graph.sh:122):
+    plain acceptor partition refinement, no weight pushing, so it is
+    safe on any deterministic machine and merges exactly the states
+    with identical suffix languages under the encoding."""
+    q = lambda w: round(w / wquant)
+    n = fst.num_states
+    by_src = [[] for _ in range(n)]
+    for src, dst, il, ol, w in fst.arcs:
+        by_src[src].append((il, ol, q(w), dst))
+
+    # initial partition by final weight
+    cls = [0] * n
+    sig2cls = {}
+    for s in range(n):
+        sig = q(fst.finals[s]) if s in fst.finals else None
+        cls[s] = sig2cls.setdefault(sig, len(sig2cls))
+    while True:
+        sig2new = {}
+        new_cls = [0] * n
+        for s in range(n):
+            sig = (cls[s], tuple(sorted(
+                (il, ol, w, cls[d]) for il, ol, w, d in by_src[s])))
+            new_cls[s] = sig2new.setdefault(sig, len(sig2new))
+        if len(sig2new) == len(set(cls)):
+            break
+        cls = new_cls
+
+    out = Fst()
+    rep = {}
+    for s in range(n):
+        if cls[s] not in rep:
+            rep[cls[s]] = out.add_state()
+    out.start = rep[cls[fst.start]]
+    seen = set()
+    for src, dst, il, ol, w in fst.arcs:
+        a = (rep[cls[src]], rep[cls[dst]], il, ol, q(w))
+        if a in seen:
+            continue
+        seen.add(a)
+        out.add_arc(rep[cls[src]], rep[cls[dst]], il, ol, w)
+    for s, w in fst.finals.items():
+        out.finals[rep[cls[s]]] = w
+    return out
