@@ -67,7 +67,9 @@ def main():
                                     "BENCH_DTYPE", "bfloat16"),
                                 "scan_layers": True,
                                 "remat": os.environ.get(
-                                    "BENCH_REMAT", "1") == "1"}}},
+                                    "BENCH_REMAT", "1") == "1",
+                                "remat_policy": os.environ.get(
+                                    "BENCH_REMAT_POLICY", "")}}},
         num_classes=VOCAB)
     _, tx = build_scheduler({
         "type": "SchedulerNoam",

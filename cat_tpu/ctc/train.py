@@ -134,7 +134,9 @@ def make_train_step(model, tx, loss_type="ctc", den=None, lamb=0.1,
                     specaug_cfg=None, grad_clip=5.0):
     loss_fn = make_loss_fn(model, loss_type, den, lamb, specaug_cfg)
 
-    @jax.jit
+    # donate the input state: params/opt-state buffers are reused for
+    # the output, halving peak HBM for the largest arrays
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
         (loss, (new_stats, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,

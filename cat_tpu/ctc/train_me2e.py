@@ -86,7 +86,7 @@ def make_train_step(model, tx, grad_clip=5.0, specaug_cfg=None):
         loss = jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, (stats, per_seq)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
         (loss, (stats, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,

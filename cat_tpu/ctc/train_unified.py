@@ -60,7 +60,7 @@ def make_train_step(model, tx, loss_type="ctc", den=None, lamb=0.1,
 
     loss_fn = make_unified_loss_fn(model, lamb_chunk, lamb_simu, future)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
         k_aug, k_loss = jax.random.split(rng)
         if specaug_cfg is not None:

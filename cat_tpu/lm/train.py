@@ -134,7 +134,7 @@ def make_train_step(model, tx, grad_clip=5.0):
 
     loss_fn = make_loss_fn(model)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
         (loss, (stats, _, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,

@@ -198,6 +198,9 @@ class ConformerNet(nn.Module):
     with_head: bool = True
     dtype: str = "float32"  # "bfloat16" for MXU-friendly compute
     remat: bool = False     # rematerialize cells (memory for FLOPs)
+    remat_policy: str = ""  # "" = full remat; "dots" = save MXU outputs
+    # and recompute only elementwise ops in the backward pass (faster,
+    # slightly more HBM)
     scan_layers: bool = False  # nn.scan over stacked cell params:
     # compiles ONE cell instead of num_cells (compile-time killer for
     # deep stacks); requires time_reduction_layer < 0
@@ -206,12 +209,21 @@ class ConformerNet(nn.Module):
     def __call__(self, x, lengths, deterministic=True):
         dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         if self.subsampling == "conv2d":
-            h, lengths = Conv2dSubsampling(self.hdim)(x, lengths)
+            sub_cls = Conv2dSubsampling
+            if self.remat:
+                # the subsampling activations dominate peak HBM
+                # (largest single allocation of a train step) — always
+                # recompute them in the backward pass under remat
+                sub_cls = nn.remat(Conv2dSubsampling)
+            h, lengths = sub_cls(self.hdim, dtype=dtype)(x, lengths)
         elif self.subsampling == "vgg2l":
             h, lengths = VGG2LSubsampling()(x, lengths)
             h = nn.Dense(self.hdim)(h)
         else:
             raise ValueError(self.subsampling)
+        # keep the inter-cell residual stream in compute dtype: halves
+        # the nn.scan carry stack (num_cells, N, T', D) saved for bwd
+        h = h.astype(dtype)
         h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
         cell_kw = dict(d_model=self.hdim, num_heads=self.num_heads,
                        kernel_size=self.kernel_size, ff_expansion=4,
@@ -220,9 +232,14 @@ class ConformerNet(nn.Module):
                        causal_conv=False, dtype=dtype)
         cell_cls = ConformerCell
         if self.remat:
+            policy = None
+            if self.remat_policy == "dots":
+                policy = (jax.checkpoint_policies
+                          .dots_with_no_batch_dims_saveable)
             # static_argnums counts the module itself at 0 in flax's
             # lifted core_fn, so `deterministic` is position 3
-            cell_cls = nn.remat(ConformerCell, static_argnums=(3,))
+            cell_cls = nn.remat(ConformerCell, static_argnums=(3,),
+                                policy=policy)
         if self.scan_layers and self.time_reduction_layer < 0:
             cell = cell_cls(**cell_kw, name="cells")
 

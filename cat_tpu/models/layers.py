@@ -30,24 +30,32 @@ def length_mask(lengths, T):
 
 
 class Conv2dSubsampling(nn.Module):
-    """Two stride-2 conv2d blocks: T → T//4 (and freq //4), then linear."""
+    """Two stride-2 conv2d blocks: T → T//4 (and freq //4), then linear.
+
+    `dtype` runs the convs in bf16: the Conv_0 activation is the single
+    largest tensor of a training step ((N, T/2, F/2, odim) — 7.6 GB at
+    batch 128 flagship in f32), so compute dtype here directly bounds
+    the model's max batch."""
 
     odim: int
     norm: bool = False  # causal variants omitted; see CausalConv2d below
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, lengths):
         # x: (N, T, F)
         N, T, F = x.shape
-        h = x[:, :, :, None]  # NHWC: (N, T, F, 1)
-        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h)
+        h = x[:, :, :, None].astype(self.dtype)  # NHWC: (N, T, F, 1)
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID")(h)
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype)(h)
         h = nn.relu(h)
         # (N, T', F', odim) → (N, T', F'*odim)
         Tp = h.shape[1]
         h = h.reshape(N, Tp, -1)
-        h = nn.Dense(self.odim)(h)
+        h = nn.Dense(self.odim, dtype=self.dtype)(h)
         # length math for two VALID stride-2 convs with kernel 3
         out_lengths = (lengths - 1) // 2
         out_lengths = (out_lengths - 1) // 2
@@ -274,11 +282,12 @@ class ConformerCell(nn.Module):
 
     @nn.compact
     def __call__(self, x, lengths, deterministic=True):
+        in_dtype = x.dtype  # keep the residual stream in input dtype
         mask = length_mask(lengths, x.shape[1])
         x = x + 0.5 * FFModule(self.d_model, self.ff_expansion,
                                self.dropout_rate,
                                dtype=self.dtype)(x, deterministic)
-        h = nn.LayerNorm(dtype=jnp.float32)(x)
+        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(in_dtype)
         x = x + RelPositionMultiHeadAttention(
             self.num_heads, self.d_model, self.dropout_rate,
             dtype=self.dtype,
@@ -290,7 +299,7 @@ class ConformerCell(nn.Module):
         x = x + 0.5 * FFModule(self.d_model, self.ff_expansion,
                                self.dropout_rate,
                                dtype=self.dtype)(x, deterministic)
-        x = nn.LayerNorm(dtype=jnp.float32)(x)
+        x = nn.LayerNorm(dtype=jnp.float32)(x).astype(in_dtype)
         return jnp.where(mask[:, :, None], x, 0.0)
 
 

@@ -50,12 +50,15 @@ class DenseDen:
     """Host-expanded dense denominator tables. V includes blank at 0;
     context symbol 0 doubles as BOS (blank never appears in contexts)."""
 
-    def __init__(self, logw, final):
+    def __init__(self, logw, final, ckpt_every=24):
         # logw (V, V, V) f32: log P(u | a, b); entries for u == 0 are
         # LOG_EPS (blank is not an LM event). final (V, V) f32.
+        # ckpt_every: alpha-checkpoint segment length (frames) — memory
+        # for the forward-backward is O(T/K + K) alpha tensors, not O(T).
         self.logw = jnp.asarray(logw, jnp.float32)
         self.final = jnp.asarray(final, jnp.float32)
         self.num_classes = int(logw.shape[0])
+        self.ckpt_every = int(ckpt_every)
 
     @classmethod
     def from_ngram(cls, lm, num_classes, bos_id=0):
@@ -189,33 +192,66 @@ def _diag_mask(V):
     return jnp.eye(V, dtype=bool)
 
 
-def _forward(log_probs, input_lengths, expw, final):
+def _alpha_step(expw, eye, input_lengths, carry, xs):
+    """One dense-den alpha recursion frame (shared by fwd + recompute)."""
+    a_in, a_bl = carry
+    y_t, t = xs
+    # emission into context (b, u): from post-blank (any u) or from
+    # in-phone (direct switch, u != b); contraction over `a`.
+    t1 = _emit_contract(a_bl, expw)                 # (N, b, u)
+    t2 = jnp.where(eye[None, :, :], LOG_EPS,
+                   _emit_contract(a_in, expw))
+    emit = _lse_pair(t1, t2) + y_t[:, None, :]
+    stay = a_in + y_t[:, None, :]                   # + y[c2]
+    new_in = _clamp(_lse_pair(stay, emit))
+    new_bl = _clamp(_lse_pair(a_in, a_bl) + y_t[:, 0][:, None, None])
+    keep = (t < input_lengths)[:, None, None]
+    new_in = jnp.where(keep, new_in, a_in)
+    new_bl = jnp.where(keep, new_bl, a_bl)
+    return (new_in, new_bl), (a_in, a_bl)
+
+
+def _pad_frames(log_probs, K):
+    """Pad T up to a multiple of K (padded frames are no-ops: masked by
+    input_lengths everywhere). Returns (y (Tp, N, V), Tp)."""
     N, T, V = log_probs.shape
+    Tp = ((T + K - 1) // K) * K
     y = jnp.transpose(log_probs, (1, 0, 2))       # (T, N, V)
+    if Tp != T:
+        y = jnp.concatenate(
+            [y, jnp.full((Tp - T, N, V), LOG_EPS, y.dtype)], axis=0)
+    return y, Tp
+
+
+def _forward(log_probs, input_lengths, expw, final, K):
+    """Segment-checkpointed alpha recursion.
+
+    Memory design: storing every alpha frame costs 2·T·N·V² floats
+    (≈3 GB at the flagship shape) — the reason the reference-scale
+    batch could not grow. Instead only segment-boundary alphas
+    (T/K snapshots) are kept; the backward pass recomputes the K
+    in-segment frames, gradient-checkpoint style, cutting den memory
+    by ~K× for one extra forward contraction per frame."""
+    N, T, V = log_probs.shape
+    y, Tp = _pad_frames(log_probs, K)
+    S = Tp // K
     a_in0 = jnp.full((N, V, V), LOG_EPS)
     a_bl0 = jnp.full((N, V, V), LOG_EPS).at[:, 0, 0].set(0.0)
     eye = _diag_mask(V)
+    step = partial(_alpha_step, expw, eye, input_lengths)
 
-    def step(carry, xs):
-        a_in, a_bl = carry
-        y_t, t = xs
-        # emission into context (b, u): from post-blank (any u) or from
-        # in-phone (direct switch, u != b); contraction over `a`.
-        t1 = _emit_contract(a_bl, expw)                 # (N, b, u)
-        t2 = jnp.where(eye[None, :, :], LOG_EPS,
-                       _emit_contract(a_in, expw))
-        emit = _lse_pair(t1, t2) + y_t[:, None, :]
-        stay = a_in + y_t[:, None, :]                   # + y[c2]
-        new_in = _clamp(_lse_pair(stay, emit))
-        new_bl = _clamp(_lse_pair(a_in, a_bl) + y_t[:, 0][:, None, None])
-        keep = (t < input_lengths)[:, None, None]
-        new_in = jnp.where(keep, new_in, a_in)
-        new_bl = jnp.where(keep, new_bl, a_bl)
-        return (new_in, new_bl), (a_in, a_bl)
+    y_seg = y.reshape(S, K, N, V)
+    t_seg = jnp.arange(Tp).reshape(S, K)
 
-    t_idx = jnp.arange(T)
-    (ain_T, abl_T), (ains, abls) = jax.lax.scan(
-        step, (a_in0, a_bl0), (y, t_idx))
+    def seg_step(carry, xs):
+        ys, ts = xs
+        snapshot = carry  # alphas at segment start
+        carry, _ = jax.lax.scan(lambda c, x: (step(c, x)[0], None),
+                                carry, (ys, ts))
+        return carry, snapshot
+
+    (ain_T, abl_T), snaps = jax.lax.scan(seg_step, (a_in0, a_bl0),
+                                         (y_seg, t_seg))
 
     def lse_all(x):
         m = jnp.max(x, axis=(1, 2))
@@ -226,13 +262,15 @@ def _forward(log_probs, input_lengths, expw, final):
 
     logz = _lse_pair(lse_all(ain_T + final[None]),
                      lse_all(abl_T + final[None]))
-    return (ains, abls), (ain_T, abl_T), logz
+    return snaps, (ain_T, abl_T), logz
 
 
 def _den_impl(log_probs, input_lengths, den: DenseDen):
     expw, final = den.device_tables()
-    alphas, lasts, logz = _forward(log_probs, input_lengths, expw, final)
-    return logz, (alphas, logz)
+    K = den.ckpt_every
+    snaps, lasts, logz = _forward(log_probs, input_lengths, expw, final,
+                                  K)
+    return logz, (snaps, logz)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -244,20 +282,22 @@ def dense_den_log_partition(log_probs, input_lengths, den):
 
 def _den_fwd(log_probs, input_lengths, den):
     logz, res = _den_impl(log_probs, input_lengths, den)
-    alphas, _ = res
-    return logz, (log_probs, input_lengths, alphas, logz)
+    snaps, _ = res
+    return logz, (log_probs, input_lengths, snaps, logz)
 
 
 def _den_bwd(den, res, g):
-    log_probs, input_lengths, alphas, logz = res
-    ains, abls = alphas
+    log_probs, input_lengths, snaps, logz = res
     expw, final = den.device_tables()
+    K = den.ckpt_every
     N, T, V = log_probs.shape
-    y = jnp.transpose(log_probs, (1, 0, 2))
+    y, Tp = _pad_frames(log_probs, K)
+    S = Tp // K
     eye = _diag_mask(V)
     logz_safe = jnp.where(logz <= LOG_EPS / 2, 0.0, logz)
+    astep = partial(_alpha_step, expw, eye, input_lengths)
 
-    def step(carry, xs):
+    def beta_step(carry, xs):
         b_in, b_bl = carry  # betas AFTER this frame (t+1 position)
         y_t, a_in, a_bl, t = xs
         active = (t < input_lengths)[:, None, None]
@@ -297,11 +337,24 @@ def _den_bwd(den, res, g):
         grad_row = jnp.where(active[:, :, 0], grad_row, 0.0)
         return (new_b_in, new_b_bl), grad_row
 
-    t_idx = jnp.arange(T)
+    y_seg = y.reshape(S, K, N, V)
+    t_seg = jnp.arange(Tp).reshape(S, K)
+
+    def seg_step(carry, xs):
+        betas = carry
+        ys, ts, snap = xs
+        # recompute the K in-segment (pre-update) alphas from the
+        # segment-start snapshot
+        _, (ains, abls) = jax.lax.scan(astep, snap, (ys, ts))
+        betas, grad_rows = jax.lax.scan(
+            beta_step, betas, (ys, ains, abls, ts), reverse=True)
+        return betas, grad_rows
+
     beta0 = (jnp.broadcast_to(final[None], (N, V, V)),
              jnp.broadcast_to(final[None], (N, V, V)))
-    _, grad_rows = jax.lax.scan(step, beta0, (y, ains, abls, t_idx),
-                                reverse=True)
+    _, grad_seg = jax.lax.scan(seg_step, beta0, (y_seg, t_seg, snaps),
+                               reverse=True)
+    grad_rows = grad_seg.reshape(Tp, N, V)[:T]
     grad = jnp.transpose(grad_rows, (1, 0, 2)) * g[:, None, None]
     return (grad, np.zeros(np.shape(input_lengths),
                            dtype=jax.dtypes.float0))

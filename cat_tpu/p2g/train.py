@@ -151,7 +151,7 @@ def make_train_step(model, tx, mode="ce", t_weight=1.0,
         w = batch["weight"]
         return jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch,
                                                   rng)

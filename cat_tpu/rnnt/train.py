@@ -148,7 +148,7 @@ def make_train_step(model, tx, specaug_cfg=None, grad_clip=5.0,
 
     loss_fn = make_loss_fn(model, specaug_cfg, joiner_normalized, topo)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
         (loss, (new_stats, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
