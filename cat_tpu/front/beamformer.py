@@ -117,6 +117,7 @@ class BeamformerNet(nn.Module):
     fft_size: int = 512
     mask_hidden: int = 256
     ref_channel: int = 0
+    beamformer_type: str = "mvdr"       # "mvdr" | "wpd" (conv_beamformer)
     use_wpe: bool = False               # WPE dereverb before beamforming
     use_dnn_mask_for_wpe: bool = True   # beamformer_net.py:97-103
     wpe_taps: int = 5
@@ -142,13 +143,68 @@ class BeamformerNet(nn.Module):
         log_pow = jnp.log(jnp.maximum(ref_pow, 1e-10))
         m_s, m_n = MaskNet(self.mask_hidden)(log_pow, frame_lengths,
                                              deterministic)
-        phi_s = _spatial_cov(spec, m_s, frame_lengths)
-        phi_n = _spatial_cov(spec, m_n, frame_lengths)
-        w = mvdr_weights(phi_s, phi_n, self.ref_channel)  # (N, F, C)
-        x = jnp.transpose(spec, (0, 3, 2, 1))          # (N, F, T, C)
-        bf = jnp.einsum("nftc,nfc->nft", x, jnp.conj(w))
-        bf = jnp.transpose(bf, (0, 2, 1))              # (N, T, F)
+        if self.beamformer_type == "wpd":
+            bf = wpd_beamform(spec, m_s, frame_lengths,
+                              taps=self.wpe_taps, delay=self.wpe_delay,
+                              ref_channel=self.ref_channel)  # (N, T, F)
+        else:
+            phi_s = _spatial_cov(spec, m_s, frame_lengths)
+            phi_n = _spatial_cov(spec, m_n, frame_lengths)
+            w = mvdr_weights(phi_s, phi_n, self.ref_channel)  # (N, F, C)
+            x = jnp.transpose(spec, (0, 3, 2, 1))      # (N, F, T, C)
+            bf = jnp.einsum("nftc,nfc->nft", x, jnp.conj(w))
+            bf = jnp.transpose(bf, (0, 2, 1))          # (N, T, F)
         power = jnp.abs(bf) ** 2
         feats = LogMel(self.num_bins, self.fft_size,
                        self.sample_rate)(power)
         return feats, frame_lengths
+
+
+def wpd_beamform(spec, mask_s, lengths, taps=5, delay=3, ref_channel=0,
+                 diag_eps=1e-7, eps=1e-6):
+    """WPD convolutional beamformer (Nakatani & Kinoshita 2019) —
+    counterpart of /root/reference/cat/front/conv_beamformer.py
+    (get_WPD_filter_v2 + perform_WPD_filtering): joint denoising +
+    dereverberation with one distortionless filter over the tap-stacked
+    signal.
+
+      Ỹ_t = [X_t, X_{t−Δ}, …, X_{t−Δ−K+1}]        ((K+1)·C per frame)
+      R   = Σ_t Ỹ_t Ỹ_tᴴ / φ_t                    (φ = speech power)
+      h   = R⁻¹[:, :C] Φ_s u_ref / tr(R⁻¹[:C,:C] Φ_s)
+      out = hᴴ Ỹ                                   (N, T, F)
+
+    spec: (N, C, T, F) complex; mask_s: (N, T, F) speech mask.
+    """
+    from cat_tpu.front.wpe import _tap_stack
+
+    N, C, T, F = spec.shape
+    x = jnp.transpose(spec, (0, 3, 1, 2))              # (N, F, C, T)
+    tmask = (jnp.arange(T)[None, :] < lengths[:, None])  # (N, T)
+    m = jnp.where(tmask[..., None], mask_s, 0.0)       # (N, T, F)
+
+    # speech PSD (C, C) per (n, f)
+    mw = jnp.transpose(m, (0, 2, 1))                   # (N, F, T)
+    xm = x * mw[:, :, None, :].astype(x.dtype)
+    phi = jnp.einsum("nfct,nfdt->nfcd", xm, jnp.conj(x))
+    den = jnp.maximum(jnp.sum(mw, axis=-1), eps)
+    phi = phi / den[..., None, None].astype(phi.dtype)
+
+    # power-normalized spatio-temporal covariance over Ỹ
+    power = jnp.einsum("nfct,nfct->nft", xm, jnp.conj(x)).real / C
+    u = jnp.where(tmask[:, None, :], 1.0 / jnp.maximum(power, eps), 0.0)
+    ytil = jnp.concatenate([x, _tap_stack(x, taps, delay)], axis=-2)
+    yw = ytil * u[:, :, None, :].astype(ytil.dtype)
+    R = jnp.einsum("nfkt,nflt->nfkl", yw, jnp.conj(ytil))
+    KC = (taps + 1) * C
+    eye = jnp.eye(KC, dtype=R.dtype)
+    trace = jnp.einsum("nfkk->nf", R).real[..., None, None]
+    R = R + diag_eps * jnp.maximum(trace, eps) * eye
+    # R⁻¹ restricted to the current-frame block (first C columns)
+    cols = jnp.broadcast_to(eye[:, :C], R.shape[:-2] + (KC, C))
+    inv_cols = jnp.linalg.solve(R, cols)               # (N, F, KC, C)
+    num = jnp.einsum("nfkc,nfcd->nfkd", inv_cols, phi)  # (N, F, KC, C)
+    tr = jnp.einsum("nfcc->nf", num[..., :C, :])
+    tr = jnp.where(jnp.abs(tr) < eps, eps + 0j, tr)
+    w = num[..., ref_channel] / tr[..., None]          # (N, F, KC)
+    bf = jnp.einsum("nfk,nfkt->nft", jnp.conj(w), ytil)
+    return jnp.transpose(bf, (0, 2, 1))                # (N, T, F)

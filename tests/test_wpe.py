@@ -104,3 +104,41 @@ def test_beamformer_with_wpe():
     feats, flens = net.apply(params, wave, jnp.array([L]))
     assert feats.shape == (N, int(flens[0]), 20)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_wpd_beamformer_enhances():
+    """WPD on a reverberant 2-ch mixture: output closer to the dry
+    source than the raw reference channel."""
+    from cat_tpu.front.beamformer import wpd_beamform
+
+    rng = np.random.default_rng(7)
+    C, T, F = 2, 160, 6
+    dry = (rng.standard_normal((T, F)) + 1j * rng.standard_normal((T, F)))
+    wet = np.zeros((C, T, F), dtype=np.complex64)
+    for c in range(C):
+        wet[c] = dry * np.exp(1j * 0.2 * c)
+        for lag, g in [(3, 0.6), (6, 0.4), (10, 0.3)]:
+            wet[c, lag:] += g * np.exp(1j * 0.2 * c) * dry[:-lag]
+    mask = jnp.ones((1, T, F), jnp.float32)
+    out = np.asarray(wpd_beamform(jnp.asarray(wet[None]), mask,
+                                  jnp.array([T]), taps=8, delay=2))[0]
+    err_raw = np.mean(np.abs(wet[0] - dry) ** 2)
+    err_out = np.mean(np.abs(out - dry) ** 2)
+    # the distortionless constraint preserves the (reverberant) steering
+    # of Φ_s, so perfect dereverberation is not promised — require a
+    # solid reduction (measured ~0.62x here)
+    assert err_out < 0.75 * err_raw, (err_out, err_raw)
+
+
+def test_beamformer_net_wpd_mode():
+    from cat_tpu.front.beamformer import BeamformerNet
+
+    rng = np.random.default_rng(8)
+    N, C, L = 1, 2, 3200
+    wave = jnp.asarray(rng.standard_normal((N, C, L)).astype(np.float32))
+    net = BeamformerNet(num_bins=20, mask_hidden=8,
+                        beamformer_type="wpd", wpe_taps=3, wpe_delay=2)
+    params = net.init(jax.random.PRNGKey(0), wave, jnp.array([L]))
+    feats, flens = net.apply(params, wave, jnp.array([L]))
+    assert feats.shape == (N, int(flens[0]), 20)
+    assert np.isfinite(np.asarray(feats)).all()
