@@ -180,3 +180,36 @@ def test_jieba_compose_lexicon():
     ids = tok.encode("今天天气")
     assert len(ids) == 4
     assert tok.decode(ids) == "j t t q"
+
+
+def test_resolvedata_registry(tmp_path):
+    from cat_tpu.utils import resolvedata
+
+    root = str(tmp_path)
+    resolvedata.register("train_960", root=root,
+                         scp="data/t/wav.scp", trans="data/t/text")
+    resolvedata.register("train_960", root=root, packed="pkl/t")
+    assert resolvedata.resolve("train_960", "packed", root=root) == "pkl/t"
+    assert resolvedata.resolve("train_960", root=root)["scp"] \
+        == "data/t/wav.scp"
+    try:
+        resolvedata.resolve("nope", root=root)
+        assert False
+    except KeyError:
+        pass
+
+
+def test_syllable_converter(tmp_path):
+    from cat_tpu.utils.syllable import (build_converter, load_converter,
+                                        save_converter)
+
+    vocab = ["<s>", "<unk>", "妈", "麻", "马"]
+    conv, syls = build_converter(vocab, {"妈": "ma1", "麻": "ma2",
+                                         "马": "ma3"})
+    assert len(conv) == 5
+    assert conv[0] == conv[1] == 0  # unk syllable
+    assert len(set(conv[2:])) == 3
+    p = str(tmp_path / "syl.pkl")
+    save_converter(p, conv, syls)
+    conv2, _ = load_converter(p)
+    assert conv2 == conv
