@@ -69,7 +69,9 @@ def main():
                                 "remat": os.environ.get(
                                     "BENCH_REMAT", "1") == "1",
                                 "remat_policy": os.environ.get(
-                                    "BENCH_REMAT_POLICY", "")}}},
+                                    "BENCH_REMAT_POLICY", ""),
+                                "subsampling_chunk": int(os.environ.get(
+                                    "BENCH_SUB_CHUNK", "0"))}}},
         num_classes=VOCAB)
     _, tx = build_scheduler({
         "type": "SchedulerNoam",

@@ -197,6 +197,8 @@ class ConformerNet(nn.Module):
     use_batchnorm: bool = True
     with_head: bool = True
     dtype: str = "float32"  # "bfloat16" for MXU-friendly compute
+    subsampling_chunk: int = 0  # time-chunked conv subsampling (output
+    # frames per chunk; bounds the conv transient, see Conv2dSubsampling)
     remat: bool = False     # rematerialize cells (memory for FLOPs)
     remat_policy: str = ""  # "" = full remat; "dots" = save MXU outputs
     # and recompute only elementwise ops in the backward pass (faster,
@@ -215,7 +217,9 @@ class ConformerNet(nn.Module):
                 # (largest single allocation of a train step) — always
                 # recompute them in the backward pass under remat
                 sub_cls = nn.remat(Conv2dSubsampling)
-            h, lengths = sub_cls(self.hdim, dtype=dtype)(x, lengths)
+            h, lengths = sub_cls(self.hdim, dtype=dtype,
+                                 time_chunk=self.subsampling_chunk)(
+                x, lengths)
         elif self.subsampling == "vgg2l":
             h, lengths = VGG2LSubsampling()(x, lengths)
             h = nn.Dense(self.hdim)(h)

@@ -40,27 +40,63 @@ class Conv2dSubsampling(nn.Module):
     odim: int
     norm: bool = False  # causal variants omitted; see CausalConv2d below
     dtype: Any = jnp.float32
+    # process the convs in overlapping time chunks of this many OUTPUT
+    # frames (0 = whole utterance at once). The conv transient is the
+    # largest tensor of a train step even in bf16 (9.5 GB at batch 320
+    # flagship); chunking bounds it to ~chunk/T of that.
+    time_chunk: int = 0
+
+    def _stack(self, h):
+        """The two VALID stride-2 convs + projection. (N,Ti,F,1)→(N,To,D)."""
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name="conv_a")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
+                    dtype=self.dtype, name="conv_b")(h)
+        h = nn.relu(h)
+        N, Tp = h.shape[0], h.shape[1]
+        h = h.reshape(N, Tp, -1)
+        return nn.Dense(self.odim, dtype=self.dtype, name="proj")(h)
 
     @nn.compact
     def __call__(self, x, lengths):
         # x: (N, T, F)
         N, T, F = x.shape
         h = x[:, :, :, None].astype(self.dtype)  # NHWC: (N, T, F, 1)
-        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
-                    dtype=self.dtype)(h)
-        h = nn.relu(h)
-        h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
-                    dtype=self.dtype)(h)
-        h = nn.relu(h)
-        # (N, T', F', odim) → (N, T', F'*odim)
-        Tp = h.shape[1]
-        h = h.reshape(N, Tp, -1)
-        h = nn.Dense(self.odim, dtype=self.dtype)(h)
+        Oc = self.time_chunk
+        if Oc <= 0 or T <= 4 * Oc + 3:
+            out = self._stack(h)
+        else:
+            # output row k consumes input rows [4k, 4k+7); chunk of Oc
+            # output rows ⇒ input slice of 4·Oc+3 rows starting at 4k0
+            T2 = ((T - 3) // 2 + 1 - 3) // 2 + 1
+            K = -(-T2 // Oc)
+            Ic = 4 * Oc + 3
+            pad_to = 4 * (K - 1) * Oc + Ic
+            hp = jnp.pad(h, ((0, 0), (0, max(0, pad_to - T)),
+                             (0, 0), (0, 0)))
+            chunks = jnp.stack(
+                [jax.lax.dynamic_slice_in_dim(hp, 4 * k * Oc, Ic, 1)
+                 for k in range(K)])          # (K, N, Ic, F, 1)
+
+            def body(mdl, carry, xc):
+                return carry, mdl._stack(xc)
+
+            # remat the body: without it the scan stacks every chunk's
+            # conv intermediates for the backward pass, recreating the
+            # full-size transient this chunking exists to avoid
+            body = nn.remat(body, prevent_cse=False)
+            scan = nn.scan(body, variable_broadcast="params",
+                           split_rngs={"params": False},
+                           in_axes=0, out_axes=0)
+            _, outs = scan(self, None, chunks)  # (K, N, Oc, D)
+            out = jnp.transpose(outs, (1, 0, 2, 3)).reshape(N, K * Oc, -1)
+            out = out[:, :T2]
         # length math for two VALID stride-2 convs with kernel 3
         out_lengths = (lengths - 1) // 2
         out_lengths = (out_lengths - 1) // 2
         out_lengths = jnp.maximum(out_lengths, 1)
-        return h, out_lengths
+        return out, out_lengths
 
 
 class VGG2LSubsampling(nn.Module):

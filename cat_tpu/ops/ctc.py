@@ -82,8 +82,22 @@ def _emissions(log_probs, ext, svalid, input_lengths, blank):
     return jnp.transpose(em, (1, 0, 2))  # (T, N, S)
 
 
+def _use_pallas():
+    """Opt-in fused Pallas kernels for the lattice scans
+    (CAT_TPU_CTC_IMPL=pallas; TPU only — interpret mode elsewhere is
+    for testing, not speed)."""
+    import os
+
+    return os.environ.get("CAT_TPU_CTC_IMPL", "") == "pallas"
+
+
 def _forward_alphas(em, allow2):
     """All alpha rows (T, N, S) via one scan."""
+    if _use_pallas():
+        from cat_tpu.ops.ctc_pallas import forward_alphas_pallas
+
+        return forward_alphas_pallas(
+            em, allow2, interpret=jax.default_backend() != "tpu")
     T, N, S = em.shape
     alpha0 = jnp.full((N, S), LOG_EPS, em.dtype).at[:, 0].set(0.0)
 
@@ -152,17 +166,25 @@ def _ctc_nll_bwd(blank, res, g):
         0.0, LOG_EPS)
     allow2_dst = _shift_left(jnp.where(allow2, 0.0, LOG_EPS), 2) == 0.0
 
-    def stepb(beta, em_next_t):
-        b = jnp.maximum(em_next_t + beta, LOG_EPS)
-        b1 = _shift_left(b, 1)
-        b2 = jnp.where(allow2_dst, _shift_left(b, 2), LOG_EPS)
-        prv = logaddexp3(b, b1, b2)
-        prv = jnp.maximum(prv, LOG_EPS)
-        return prv, prv
+    if _use_pallas():
+        from cat_tpu.ops.ctc_pallas import backward_betas_pallas
 
-    # betas[t] for t in [0, T-2], computed in reverse, plus beta_last.
-    _, betas_head = jax.lax.scan(stepb, beta_last, em[1:], reverse=True)
-    betas = jnp.concatenate([betas_head, beta_last[None]], axis=0)
+        betas = backward_betas_pallas(
+            em, allow2_dst, beta_last,
+            interpret=jax.default_backend() != "tpu")
+    else:
+        def stepb(beta, em_next_t):
+            b = jnp.maximum(em_next_t + beta, LOG_EPS)
+            b1 = _shift_left(b, 1)
+            b2 = jnp.where(allow2_dst, _shift_left(b, 2), LOG_EPS)
+            prv = logaddexp3(b, b1, b2)
+            prv = jnp.maximum(prv, LOG_EPS)
+            return prv, prv
+
+        # betas[t] for t in [0, T-2] in reverse, plus beta_last.
+        _, betas_head = jax.lax.scan(stepb, beta_last, em[1:],
+                                     reverse=True)
+        betas = jnp.concatenate([betas_head, beta_last[None]], axis=0)
 
     score = alphas + betas - jnp.where(
         ll[None, :, None] <= LOG_EPS / 2, 0.0, ll[None, :, None])

@@ -76,7 +76,8 @@ class Manager:
                  ckpt: CheckpointManager, train_loader, eval_loader,
                  logger: Optional[MetricLogger] = None, rng=None,
                  put_batch: Callable = None, max_epochs: int = 10000,
-                 check_freq: int = -1, verbose: bool = True):
+                 check_freq: int = -1, verbose: bool = True,
+                 profile_steps: Optional[tuple] = None):
         self.train_step = train_step
         self.eval_step = eval_step
         self.state = state
@@ -91,6 +92,11 @@ class Manager:
         self.check_freq = check_freq  # steps between evals; -1 = per epoch
         self.epoch = 0
         self.global_step = 0
+        # (start_step, stop_step): capture a jax.profiler device trace
+        # into <ckpt_dir>/profile between these global steps (the
+        # tracing affordance the reference lacks, SURVEY.md §5)
+        self.profile_steps = profile_steps
+        self._profiling = False
 
     # ------------- persistence -------------
 
@@ -156,6 +162,15 @@ class Manager:
                     continue
                 t_data += time.time() - t0
                 self.global_step += 1
+                if self.profile_steps is not None:
+                    start, stop = self.profile_steps
+                    if self.global_step == start and not self._profiling:
+                        jax.profiler.start_trace(
+                            os.path.join(self.ckpt.dir, "profile"))
+                        self._profiling = True
+                    elif self.global_step == stop and self._profiling:
+                        jax.profiler.stop_trace()
+                        self._profiling = False
                 self._steps_into_epoch += 1
                 self.scheduler.update_lr_step(self.global_step)
                 self.rng, sub = jax.random.split(self.rng)

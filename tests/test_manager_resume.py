@@ -70,3 +70,16 @@ def test_mid_epoch_resume(tmp_path):
     # replays epoch 1 skipping 3 consumed batches → ends at the same
     # total step count
     assert mgr2.global_step == 10
+
+
+def test_manager_profile_trace(tmp_path):
+    mgr = make_mgr(tmp_path, "prof")
+    mgr.profile_steps = (2, 4)
+    mgr.run()
+    prof_dir = os.path.join(mgr.ckpt.dir, "profile")
+    assert os.path.isdir(prof_dir)
+    # a trace dump was written
+    found = []
+    for root, _, files in os.walk(prof_dir):
+        found.extend(files)
+    assert found, "no profiler trace files written"
