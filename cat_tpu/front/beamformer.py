@@ -208,3 +208,39 @@ def wpd_beamform(spec, mask_s, lengths, taps=5, delay=3, ref_channel=0,
     w = num[..., ref_channel] / tr[..., None]          # (N, F, KC)
     bf = jnp.einsum("nfk,nfkt->nft", jnp.conj(w), ytil)
     return jnp.transpose(bf, (0, 2, 1))                # (N, T, F)
+
+
+class ChannelSelector(nn.Module):
+    """Pick one channel of a multichannel wave/spec
+    (front/multi2mono.py ChannelSelector)."""
+
+    chosen_channel: int = 0
+
+    def __call__(self, x, lengths):
+        # x: (N, C, ...) → (N, ...)
+        return x[:, self.chosen_channel], lengths
+
+
+class NeuralFilter(nn.Module):
+    """Neural complex filter-and-sum (front/filter_net.py FilterNet):
+    a BLSTM on the stacked log-power of all channels predicts per-
+    channel complex filter weights per T-F bin; output = Σ_c w*_c X_c.
+    Differentiable alternative to mask+MVDR for small arrays."""
+
+    hidden: int = 256
+
+    @nn.compact
+    def __call__(self, spec, lengths, deterministic=True):
+        from cat_tpu.models.encoders import LSTMStack
+
+        N, C, T, F = spec.shape
+        logp = jnp.log(jnp.maximum(jnp.abs(spec) ** 2, 1e-10))
+        feat = jnp.transpose(logp, (0, 2, 1, 3)).reshape(N, T, C * F)
+        h = LSTMStack(self.hidden, 2, True, 0.0)(feat, lengths,
+                                                 deterministic)
+        wr = nn.Dense(C * F, name="filt_re")(h).reshape(N, T, C, F)
+        wi = nn.Dense(C * F, name="filt_im")(h).reshape(N, T, C, F)
+        w = (wr + 1j * wi).astype(spec.dtype)
+        x = jnp.transpose(spec, (0, 2, 1, 3))        # (N, T, C, F)
+        out = jnp.sum(jnp.conj(w) * x, axis=2)       # (N, T, F)
+        return out

@@ -73,3 +73,24 @@ def test_beamformer_net_end_to_end():
     g = jax.jit(jax.grad(loss))(v)
     leaves = jax.tree_util.tree_leaves(g)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in leaves)
+
+
+def test_channel_selector_and_neural_filter():
+    import numpy as np
+    from cat_tpu.front.beamformer import ChannelSelector, NeuralFilter
+
+    rng = np.random.default_rng(0)
+    N, C, T, F = 2, 3, 12, 9
+    spec = jnp.asarray((rng.standard_normal((N, C, T, F))
+                        + 1j * rng.standard_normal((N, C, T, F)))
+                       .astype(np.complex64))
+    lens = jnp.array([T, T - 3])
+    sel, l2 = ChannelSelector(chosen_channel=1)(spec, lens)
+    assert sel.shape == (N, T, F)
+    assert np.allclose(np.asarray(sel), np.asarray(spec[:, 1]))
+
+    nf = NeuralFilter(hidden=8)
+    p = nf.init(jax.random.PRNGKey(0), spec, lens)
+    out = nf.apply(p, spec, lens)
+    assert out.shape == (N, T, F)
+    assert np.isfinite(np.asarray(out).real).all()
