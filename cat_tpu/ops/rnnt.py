@@ -76,7 +76,22 @@ def _row_tables(log_probs, labels, input_lengths, label_lengths, blank):
     return tr(blank_eff), tr(label_eff), tr(blank_raw), tr(label_raw)
 
 
+def _use_pallas():
+    """Opt-in fused Pallas kernels for the lattice scans
+    (CAT_TPU_RNNT_IMPL=pallas; TPU only — interpret mode elsewhere is
+    for testing, not speed)."""
+    import os
+
+    return os.environ.get("CAT_TPU_RNNT_IMPL", "") == "pallas"
+
+
 def _forward_alphas(blank_eff, label_eff):
+    if _use_pallas():
+        from cat_tpu.ops.rnnt_pallas import forward_alphas_pallas
+
+        return forward_alphas_pallas(
+            blank_eff, label_eff,
+            interpret=jax.default_backend() != "tpu")
     T, N, U1 = blank_eff.shape
     alpha0 = jnp.full((N, U1), LOG_EPS).at[:, 0].set(0.0)
     # base for row t uses blank transitions of row t-1; row 0 uses zeros so
@@ -103,6 +118,13 @@ def _backward_betas(blank_eff, label_eff, label_lengths):
     u_idx = jnp.arange(U1)
     beta_term = jnp.where(u_idx[None, :] == label_lengths[:, None],
                           0.0, LOG_EPS)  # beta[T]
+    if _use_pallas():
+        from cat_tpu.ops.rnnt_pallas import backward_betas_pallas
+
+        betas = backward_betas_pallas(
+            blank_eff, label_eff, beta_term,
+            interpret=jax.default_backend() != "tpu")
+        return betas, beta_term
 
     def step(beta_next, xs):
         b_cur, lab_cur = xs

@@ -47,16 +47,19 @@ def test_spmd_training_step_matches_single_device():
         "weight": np.ones((16,), np.float32),
     }
     key = jax.random.PRNGKey(0)
+    # The step donates its state buffers, so build the sharded copy
+    # BEFORE running the single-device step (which deletes `state`).
+    mesh = make_mesh()
+    state_host = jax.tree_util.tree_map(np.asarray, state)
+    state_sh = state_host.replace(
+        params=jax.device_put(state_host.params, jax.tree_util.tree_map(
+            lambda _: replicated(mesh), state_host.params)),
+        opt_state=jax.device_put(state_host.opt_state,
+                                 zero1_shardings(state_host.opt_state, mesh)))
+    batch_sh = shard_batch(mesh, batch_np)
     # single-device
     s1, m1 = step(state, batch_np, jnp.float32(1e-3), key)
     # sharded
-    mesh = make_mesh()
-    state_sh = state.replace(
-        params=jax.device_put(state.params, jax.tree_util.tree_map(
-            lambda _: replicated(mesh), state.params)),
-        opt_state=jax.device_put(state.opt_state,
-                                 zero1_shardings(state.opt_state, mesh)))
-    batch_sh = shard_batch(mesh, batch_np)
     s2, m2 = step(state_sh, batch_sh, jnp.float32(1e-3), key)
     assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
     # params after update agree
