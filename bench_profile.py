@@ -78,13 +78,19 @@ def main():
     from cat_tpu.ops.specaug import specaug
 
     def make_step(variant):
-        def loss_fn(params, batch, rng):
+        def loss_fn(params, batch_stats, batch, rng):
             feats = specaug(rng, batch["feats"], batch["feat_lengths"],
                             num_freq_masks=2, freq_mask_width=27,
                             num_time_masks=2, time_mask_width=100)
-            logits, out_lens = model.apply(
-                {"params": params}, feats, batch["feat_lengths"],
-                deterministic=False, rngs={"dropout": rng})
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(
+                variables, feats, batch["feat_lengths"],
+                deterministic=False,
+                mutable=["batch_stats"] if batch_stats else False,
+                rngs={"dropout": rng})
+            (logits, out_lens) = out[0] if batch_stats else out
             lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
             if variant == "enc":
                 return jnp.mean(lp)
@@ -97,8 +103,8 @@ def main():
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, batch, rng):
-            loss, grads = jax.value_and_grad(loss_fn)(state.params,
-                                                      batch, rng)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, state.batch_stats, batch, rng)
             opt_state = set_lr(state.opt_state, 1e-4)
             updates, opt_state = tx.update(grads, opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
