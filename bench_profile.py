@@ -22,6 +22,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", "96"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "1600"))
 STEPS = int(os.environ.get("BENCH_STEPS", "4"))
 ONLY = os.environ.get("BENCH_ONLY", "")  # e.g. "enc" / "ctc" / "crf"
+DROPOUT = float(os.environ.get("BENCH_DROPOUT", "0.1"))
+REMAT = os.environ.get("BENCH_REMAT", "1") == "1"
+BATCHNORM = os.environ.get("BENCH_BATCHNORM", "1") == "1"
+SPECAUG = os.environ.get("BENCH_SPECAUG", "1") == "1"
 
 
 def main():
@@ -44,9 +48,10 @@ def main():
         {"encoder": {"type": "ConformerNet",
                      "kwargs": {"num_cells": NUM_CELLS, "hdim": HDIM,
                                 "num_heads": 8, "kernel_size": 32,
-                                "dropout_rate": 0.1,
+                                "dropout_rate": DROPOUT,
+                                "use_batchnorm": BATCHNORM,
                                 "dtype": "bfloat16",
-                                "scan_layers": True, "remat": True,
+                                "scan_layers": True, "remat": REMAT,
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY", "")}}},
         num_classes=VOCAB)
@@ -79,9 +84,11 @@ def main():
 
     def make_step(variant):
         def loss_fn(params, batch_stats, batch, rng):
-            feats = specaug(rng, batch["feats"], batch["feat_lengths"],
-                            num_freq_masks=2, freq_mask_width=27,
-                            num_time_masks=2, time_mask_width=100)
+            feats = batch["feats"]
+            if SPECAUG:
+                feats = specaug(rng, feats, batch["feat_lengths"],
+                                num_freq_masks=2, freq_mask_width=27,
+                                num_time_masks=2, time_mask_width=100)
             variables = {"params": params}
             if batch_stats:
                 variables["batch_stats"] = batch_stats
