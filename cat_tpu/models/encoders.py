@@ -15,8 +15,35 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from cat_tpu.models.layers import (Conv2dSubsampling, ConformerCell,
-                                   Lookahead, TDNNLayer, TimeReduction,
-                                   VGG2LSubsampling, length_mask)
+                                   Dropout, Lookahead, TDNNLayer,
+                                   TimeReduction, VGG2LSubsampling,
+                                   length_mask)
+
+
+def dots_noexpand_saveable(prim, *avals, **params):
+    """Checkpoint policy: save no-batch-dim dot outputs EXCEPT expanding
+    ones (rhs free dims > contracted dims) — i.e. keep q/k/v/out
+    projections and FF down-projections, but recompute the conformer FF
+    up-projections and the conv-module GLU pointwise, whose (N, T, 4D) /
+    (N, T, 2D) outputs dominate the residual memory of the plain `dots`
+    policy (it OOMs the flagship batch-96 shape; this fits)."""
+    if prim is not jax.lax.dot_general_p:
+        return False
+    (lc, rc), (lb, rb) = params["dimension_numbers"]
+    if lb or rb:
+        return False
+    try:
+        rhs = avals[1].shape
+    except (IndexError, AttributeError):
+        return True
+    rhs_free = 1
+    contracted = 1
+    for i, d in enumerate(rhs):
+        if i in rc:
+            contracted *= d
+        else:
+            rhs_free *= d
+    return rhs_free <= contracted
 
 
 class LSTMStack(nn.Module):
@@ -228,7 +255,7 @@ class ConformerNet(nn.Module):
         # keep the inter-cell residual stream in compute dtype: halves
         # the nn.scan carry stack (num_cells, N, T', D) saved for bwd
         h = h.astype(dtype)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = Dropout(self.dropout_rate)(h, deterministic)
         cell_kw = dict(d_model=self.hdim, num_heads=self.num_heads,
                        kernel_size=self.kernel_size, ff_expansion=4,
                        dropout_rate=self.dropout_rate,
@@ -240,6 +267,8 @@ class ConformerNet(nn.Module):
             if self.remat_policy == "dots":
                 policy = (jax.checkpoint_policies
                           .dots_with_no_batch_dims_saveable)
+            elif self.remat_policy == "dots_noexpand":
+                policy = dots_noexpand_saveable
             # static_argnums counts the module itself at 0 in flax's
             # lifted core_fn, so `deterministic` is position 3
             cell_cls = nn.remat(ConformerCell, static_argnums=(3,),

@@ -15,6 +15,7 @@ TimeReduction (:703-718). Design differences from the reference:
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import numpy as np
@@ -27,6 +28,27 @@ import flax.linen as nn
 def length_mask(lengths, T):
     """(N,) lengths → (N, T) bool mask."""
     return jnp.arange(T)[None, :] < lengths[:, None]
+
+
+class Dropout(nn.Module):
+    """Dropout that dispatches to the fused Pallas kernel when
+    CAT_TPU_FUSED_DROPOUT=1 (or =interpret off-TPU). The fused path
+    generates the mask with the core's hardware PRNG inside one pass
+    over the tensor and regenerates it in the backward pass — no stored
+    mask, no extra HBM round-trip (see ops/dropout_pallas.py)."""
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        if deterministic or self.rate <= 0.0:
+            return x
+        mode = os.environ.get("CAT_TPU_FUSED_DROPOUT", "")
+        if mode not in ("1", "interpret"):
+            return nn.Dropout(self.rate)(x, deterministic=False)
+        from cat_tpu.ops.dropout_pallas import fused_dropout, key_to_seed
+        seed = key_to_seed(self.make_rng("dropout"))
+        return fused_dropout(x, seed, self.rate, mode == "interpret")
 
 
 class Conv2dSubsampling(nn.Module):
@@ -194,10 +216,14 @@ class RelPositionMultiHeadAttention(nn.Module):
         v_bias = v_bias.astype(self.dtype)
         ac = jnp.einsum("nthd,nshd->nhts", q + u_bias, k,
                         preferred_element_type=jnp.float32)
-        bd = jnp.einsum("nthd,mhd->nhtm", q + v_bias, p,
-                        preferred_element_type=jnp.float32)
+        # the (N, H, T, 2T-1) bd table is the largest attention tensor;
+        # keep it in compute dtype (bf16 halves its HBM traffic through
+        # the einsum + rel-shift) and upcast only when joining the f32
+        # content scores
+        bd = jnp.einsum("nthd,mhd->nhtm", q + v_bias, p)
         bd = rel_shift_gather(bd)
-        scores = (ac + bd) / jnp.sqrt(Dh).astype(jnp.float32)
+        scores = (ac + bd.astype(jnp.float32)) \
+            / jnp.sqrt(Dh).astype(jnp.float32)
         # mask: (N, T) valid; softmax in f32 for stability
         neg = jnp.finfo(jnp.float32).min
         scores = jnp.where(mask[:, None, None, :], scores, neg)
@@ -211,12 +237,15 @@ class RelPositionMultiHeadAttention(nn.Module):
             if right >= 0:
                 band &= t_k <= t_q + right
             scores = jnp.where(band[None, None, :, :], scores, neg)
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = jnp.where(mask[:, None, :, None], attn, 0.0)
-        attn = nn.Dropout(self.dropout_rate)(attn,
-                                             deterministic=deterministic)
-        out = jnp.einsum("nhts,nshd->nthd", attn.astype(self.dtype),
-                         v, preferred_element_type=jnp.float32)
+        # softmax in f32, then drop to compute dtype BEFORE the query
+        # mask and dropout so those two elementwise passes move half the
+        # bytes (the (N, H, T, T) probs are pure HBM traffic)
+        attn = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+        attn = jnp.where(mask[:, None, :, None], attn,
+                         jnp.zeros((), self.dtype))
+        attn = Dropout(self.dropout_rate)(attn, deterministic)
+        out = jnp.einsum("nhts,nshd->nthd", attn, v,
+                         preferred_element_type=jnp.float32)
         out = nn.DenseGeneral(D, axis=(-2, -1), dtype=self.dtype,
                               name="out")(out.astype(self.dtype))
         return out.astype(x.dtype)
@@ -236,9 +265,9 @@ class FFModule(nn.Module):
         h = nn.LayerNorm(dtype=jnp.float32)(x)
         h = nn.Dense(self.d_model * self.expansion, dtype=self.dtype)(h)
         h = nn.silu(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = Dropout(self.dropout_rate)(h, deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype)(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = Dropout(self.dropout_rate)(h, deterministic)
         return h.astype(x.dtype)
 
 
@@ -299,7 +328,7 @@ class ConvModule(nn.Module):
             h = nn.LayerNorm()(h)
         h = nn.silu(h)
         h = nn.Dense(self.d_model, dtype=self.dtype)(h)
-        h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        h = Dropout(self.dropout_rate)(h, deterministic)
         return jnp.where(mask[:, :, None], h.astype(x.dtype), 0.0)
 
 
