@@ -48,10 +48,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    # fused Pallas dropout (ops/dropout_pallas.py) on accelerators; the
+    # fused Pallas dropout (ops/dropout_pallas.py) and fused flash
+    # rel-pos attention (ops/attention_pallas.py) on accelerators; the
     # interpret fallback keeps CPU runs working
     if jax.default_backend() != "cpu":
         os.environ.setdefault("CAT_TPU_FUSED_DROPOUT", "1")
+        os.environ.setdefault("CAT_TPU_FLASH_ATTN", "1")
     else:
         os.environ.setdefault("CAT_TPU_FUSED_DROPOUT", "interpret")
 

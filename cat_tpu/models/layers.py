@@ -214,6 +214,35 @@ class RelPositionMultiHeadAttention(nn.Module):
         v_bias = self.param("v_bias", nn.initializers.zeros, (H, Dh))
         u_bias = u_bias.astype(self.dtype)
         v_bias = v_bias.astype(self.dtype)
+        flash = os.environ.get("CAT_TPU_FLASH_ATTN", "")
+        # gate to one device unless forced: GSPMD has no partitioning
+        # rule for an opaque pallas_call, so under a multi-chip mesh it
+        # would all-gather the activations around the kernel. Multi-chip
+        # flash needs a shard_map wrap (CAT_TPU_FLASH_ATTN=force to
+        # override once that is in place for your config).
+        if flash == "1" and jax.device_count() > 1:
+            flash = ""
+        if flash == "force":
+            flash = "1"
+        if flash in ("1", "interpret") and self.context == (-1, -1):
+            # fused Pallas path: scores/softmax/dropout/value contraction
+            # all in VMEM tiles — no (N, H, T, ~T) tensor ever reaches
+            # HBM (ops/attention_pallas.py)
+            from cat_tpu.ops.attention_pallas import flash_relpos_attention
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            seed = None
+            if rate > 0.0:
+                from cat_tpu.ops.dropout_pallas import key_to_seed
+                seed = key_to_seed(self.make_rng("dropout"))
+            out = flash_relpos_attention(
+                q, k, v, p, u_bias, v_bias, mask,
+                scale=1.0 / float(np.sqrt(Dh)), dropout_rate=rate,
+                seed=seed, interpret=(flash == "interpret"))
+            out = jnp.where(mask[:, :, None, None], out,
+                            jnp.zeros((), out.dtype))
+            out = nn.DenseGeneral(D, axis=(-2, -1), dtype=self.dtype,
+                                  name="out")(out.astype(self.dtype))
+            return out.astype(x.dtype)
         ac = jnp.einsum("nthd,nshd->nhts", q + u_bias, k,
                         preferred_element_type=jnp.float32)
         # the (N, H, T, 2T-1) bd table is the largest attention tensor;

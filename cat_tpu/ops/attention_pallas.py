@@ -1,0 +1,411 @@
+"""Fused flash attention with Transformer-XL relative positions (Pallas).
+
+The conformer's rel-pos MHSA (models/layers.py RelPositionMultiHeadAttention,
+role reference /root/reference/cat/shared/layer.py:238-416) materializes four
+(N, H, T, ~T)-sized tensors per cell in XLA-land: the content scores `ac`
+(f32), the position table `bd` (bf16, width 2T-1), the masked scores, and the
+softmax probs. At the flagship bench shape (batch 96, T=400 post-subsample)
+that is ~1.7 GB of pure HBM traffic per cell, recomputed again under remat in
+the backward pass — and the encoder is ~100% of the training step (STATUS.md).
+
+This kernel computes the whole attention — content scores, rel-pos scores,
+masking, online softmax, post-softmax dropout, and the value contraction — in
+VMEM tiles, so nothing T×T-sized ever touches HBM.
+
+Design notes (the non-standard parts relative to a stock flash attention):
+
+* Rel-pos scores. bd[t, s] = (q_t + v_bias) · p[T-1-t+s], where p is the
+  projected sinusoid table of relative distances. For square tiles of size b
+  with q-block i and k-block j, the needed window of p is
+  p[m0 : m0+2b), m0 = b·(T/b - 1 + j - i) — *block aligned*. The kernel loads
+  the window as two b-row blocks (index maps `widx`, `widx+1`), computes
+  qp = (q+v_bias) @ p_winᵀ (b, 2b), and extracts the diagonal-band layout
+  bd[t', s'] = qp[t', b-1-t'+s'] with a *shear*: log2(b) conditional lane
+  rotations (`pltpu.roll`), rows with bit k of t' set rolled by 2^k. No
+  gathers, no cross-lane reshape.
+
+* Dropout. Applied to the (unnormalized) softmax numerator inside the online
+  accumulation with the core hardware PRNG, seeded per grid tile; backward
+  re-seeds identically, so no mask is ever stored (same contract as
+  ops/dropout_pallas.py).
+
+* Backward. One kernel, grid (H, N, i, j): d{qu,qv} accumulate over the
+  innermost j into their (revisit-contiguous) output blocks; dk/dv accumulate
+  into full-T output blocks per (h, n); dp accumulates into a VMEM scratch of
+  the full (2T, Dh) table per head (it is tiny) and flushes at the last tile
+  of each head. The inverse shear places d(bd) back into qp coordinates.
+
+The softmax statistics (logsumexp) are saved from the forward pass, so the
+backward recomputes probs in one pass — the standard flash trick.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _shear_right(x, b):
+    """(b, 2b) → (b, 2b) with out[t, m] = x[t, m - t (mod 2b)]."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    shift = 1
+    while shift < b:
+        x = jnp.where((rows & shift) != 0,
+                      pltpu.roll(x, shift, axis=1), x)
+        shift *= 2
+    return x
+
+
+def _shear_left(x, b):
+    """Inverse of _shear_right: out[t, m] = x[t, m + t (mod 2b)]."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    W = x.shape[1]
+    shift = 1
+    while shift < b:
+        # left-roll by `shift` == circular right-roll by W - shift
+        x = jnp.where((rows & shift) != 0,
+                      pltpu.roll(x, W - shift, axis=1), x)
+        shift *= 2
+    return x
+
+
+def _band(qp, b):
+    """qp (b, 2b) → bd (b, b): bd[t, s] = qp[t, b-1-t+s]."""
+    sheared = _shear_right(qp, b)  # sheared[t, m] = qp[t, m - t]
+    return sheared[:, b - 1:2 * b - 1]
+
+
+def _band_t(dbd, b):
+    """Transpose-adjoint of _band: dbd (b, b) → dqp (b, 2b) with
+    dqp[t, b-1-t+s] = dbd[t, s] (zeros elsewhere)."""
+    padded = jnp.pad(dbd, ((0, 0), (b - 1, 1)))
+    return _shear_left(padded, b)
+
+
+def _tile_seed(seed_ref, n, h, i, j, H, nq, nk):
+    return seed_ref[1] + ((n * H + h) * nq + i) * nk + j
+
+
+def _dropout_keep(shape, threshold):
+    bits = pltpu.prng_random_bits(shape)
+    bits = pltpu.bitcast(bits, jnp.int32)
+    return (bits ^ jnp.int32(-2147483648)) >= jnp.int32(threshold)
+
+
+def _thr(rate):
+    return min(int(rate * 4294967296.0), 4294967295) - 2147483648
+
+
+def _fwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p1_ref, p2_ref,
+                kb_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+                *, scale, rate, H, nq, nk, b):
+    n, h, i, j = (pl.program_id(0), pl.program_id(1),
+                  pl.program_id(2), pl.program_id(3))
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    qu = qu_ref[0, 0]           # (b, Dh)
+    qv = qv_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    pw = jnp.concatenate([p1_ref[0], p2_ref[0]], axis=0)  # (2b, Dh)
+
+    s = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qp = jax.lax.dot_general(qv, pw, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s = (s + _band(qp, b)) * scale + kb_ref[0, 0][None, :]
+
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    m_ref[...] = m_new
+    e = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_ref[...] = l_ref[...] * corr + jnp.sum(e, axis=1, keepdims=True)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0],
+                        _tile_seed(seed_ref, n, h, i, j, H, nq, nk))
+        keep = _dropout_keep(e.shape, _thr(rate))
+        e_acc = jnp.where(keep, e * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        e_acc = e
+    acc_ref[...] = acc_ref[...] * corr + jax.lax.dot_general(
+        e_acc.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nk - 1)
+    def _flush():
+        l = l_ref[...]
+        o_ref[0, 0] = (acc_ref[...]
+                       / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[...] = jnp.reshape(
+            m_ref[...] + jnp.log(jnp.maximum(l, 1e-30)), (1, 1, 1, b))
+
+
+def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p1_ref, p2_ref,
+                kb_ref, lse_ref, do_ref, dd_ref,
+                dqu_ref, dqv_ref, dk_ref, dv_ref, dp_ref, dps_ref,
+                *, scale, rate, H, nq, nk, b):
+    h, n, i, j = (pl.program_id(0), pl.program_id(1),
+                  pl.program_id(2), pl.program_id(3))
+
+    @pl.when(j == 0)
+    def _init_q():
+        dqu_ref[...] = jnp.zeros_like(dqu_ref)
+        dqv_ref[...] = jnp.zeros_like(dqv_ref)
+
+    @pl.when((i == 0) & (j == 0))
+    def _init_kv():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when((n == 0) & (i == 0) & (j == 0))
+    def _init_p():
+        dps_ref[...] = jnp.zeros_like(dps_ref)
+
+    qu = qu_ref[0, 0]
+    qv = qv_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    pw = jnp.concatenate([p1_ref[0], p2_ref[0]], axis=0)  # (2b, Dh)
+
+    s = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qp = jax.lax.dot_general(qv, pw, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s = (s + _band(qp, b)) * scale + kb_ref[0, 0][None, :]
+    p_ = jnp.exp(s - lse_ref[0, 0, 0][:, None])        # true probs (b, b)
+
+    dpmat = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0],
+                        _tile_seed(seed_ref, n, h, i, j, H, nq, nk))
+        keep = _dropout_keep(p_.shape, _thr(rate))
+        inv = 1.0 / (1.0 - rate)
+        p_drop = jnp.where(keep, p_ * inv, 0.0)
+        dpmat = jnp.where(keep, dpmat * inv, 0.0)
+    else:
+        p_drop = p_
+    # dv += P_dropᵀ @ dO
+    dv_ref[0, 0, pl.ds(j * b, b), :] += jax.lax.dot_general(
+        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p_ * (dpmat - dd_ref[0, 0, 0][:, None]) * scale   # (b, b) f32
+    dsl = ds.astype(k.dtype)
+    dqu_ref[...] += jax.lax.dot_general(
+        dsl, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[None, None]
+    dk_ref[0, 0, pl.ds(j * b, b), :] += jax.lax.dot_general(
+        dsl, qu, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dqp = _band_t(ds, b).astype(pw.dtype)                # (b, 2b)
+    dqv_ref[...] += jax.lax.dot_general(
+        dqp, pw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)[None, None]
+    # dp window accumulate: rows [widx·b, widx·b + 2b) of the (2T, Dh) table
+    widx = nq - 1 + j - i
+    dpw = jax.lax.dot_general(dqp, qv, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dps_ref[pl.ds(widx * b, 2 * b), :] += dpw
+
+    @pl.when((n == pl.num_programs(1) - 1) & (i == nq - 1) & (j == nk - 1))
+    def _flush_p():
+        dp_ref[0] = dps_ref[...]
+
+
+def _pallas_fwd(qu, qv, k, v, pp, kbias, seed, scale, rate, b, interpret):
+    N, H, Tp, Dh = qu.shape
+    nq = nk = Tp // b
+    grid = (N, H, nq, nk)
+    kernel = functools.partial(_fwd_kernel, scale=scale, rate=rate,
+                               H=H, nq=nq, nk=nk, b=b)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, b, Dh), lambda n, h, i, j: (n, h, i, 0)),
+            pl.BlockSpec((1, 1, b, Dh), lambda n, h, i, j: (n, h, i, 0)),
+            pl.BlockSpec((1, 1, b, Dh), lambda n, h, i, j: (n, h, j, 0)),
+            pl.BlockSpec((1, 1, b, Dh), lambda n, h, i, j: (n, h, j, 0)),
+            pl.BlockSpec((1, b, Dh),
+                         lambda n, h, i, j: (h, nq - 1 + j - i, 0)),
+            pl.BlockSpec((1, b, Dh),
+                         lambda n, h, i, j: (h, nq + j - i, 0)),
+            pl.BlockSpec((1, 1, b), lambda n, h, i, j: (n, 0, j)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, b, Dh), lambda n, h, i, j: (n, h, i, 0)),
+            pl.BlockSpec((1, 1, 1, b), lambda n, h, i, j: (n, h, 0, i)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), qu.dtype),
+            jax.ShapeDtypeStruct((N, H, 1, Tp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, Dh), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+            pltpu.VMEM((b, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, qu, qv, k, v, pp, pp, kbias)
+    return o, lse
+
+
+def _pallas_bwd(qu, qv, k, v, pp, kbias, seed, lse, do, dd,
+                scale, rate, b, interpret):
+    N, H, Tp, Dh = qu.shape
+    nq = nk = Tp // b
+    grid = (H, N, nq, nk)
+    kernel = functools.partial(_bwd_kernel, scale=scale, rate=rate,
+                               H=H, nq=nq, nk=nk, b=b)
+    f32 = jnp.float32
+    dqu, dqv, dk, dv, dp = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, b, Dh), lambda h, n, i, j: (n, h, i, 0)),
+            pl.BlockSpec((1, 1, b, Dh), lambda h, n, i, j: (n, h, i, 0)),
+            pl.BlockSpec((1, 1, b, Dh), lambda h, n, i, j: (n, h, j, 0)),
+            pl.BlockSpec((1, 1, b, Dh), lambda h, n, i, j: (n, h, j, 0)),
+            pl.BlockSpec((1, b, Dh),
+                         lambda h, n, i, j: (h, nq - 1 + j - i, 0)),
+            pl.BlockSpec((1, b, Dh),
+                         lambda h, n, i, j: (h, nq + j - i, 0)),
+            pl.BlockSpec((1, 1, b), lambda h, n, i, j: (n, 0, j)),
+            pl.BlockSpec((1, 1, 1, b), lambda h, n, i, j: (n, h, 0, i)),
+            pl.BlockSpec((1, 1, b, Dh), lambda h, n, i, j: (n, h, i, 0)),
+            pl.BlockSpec((1, 1, 1, b), lambda h, n, i, j: (n, h, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, b, Dh), lambda h, n, i, j: (n, h, i, 0)),
+            pl.BlockSpec((1, 1, b, Dh), lambda h, n, i, j: (n, h, i, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n, i, j: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n, i, j: (n, h, 0, 0)),
+            pl.BlockSpec((1, 2 * Tp, Dh), lambda h, n, i, j: (h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), f32),
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), f32),
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), f32),
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), f32),
+            jax.ShapeDtypeStruct((H, 2 * Tp, Dh), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * Tp, Dh), f32)],
+        interpret=interpret,
+    )(seed, qu, qv, k, v, pp, pp, kbias, lse, do, dd)
+    return dqu, dqv, dk, dv, dp
+
+
+# k-block slicing of dk/dv inside the backward kernel reads/writes a
+# (1, 1, Tp, Dh) output block per (h, n); the kernel needs nk tiles of it.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def _flash_core(qu, qv, k, v, pp, kbias, seed, scale, rate, b, interpret):
+    o, _ = _pallas_fwd(qu, qv, k, v, pp, kbias, seed, scale, rate, b,
+                       interpret)
+    return o
+
+
+def _flash_core_fwd(qu, qv, k, v, pp, kbias, seed, scale, rate, b,
+                    interpret):
+    o, lse = _pallas_fwd(qu, qv, k, v, pp, kbias, seed, scale, rate, b,
+                         interpret)
+    return o, (qu, qv, k, v, pp, kbias, seed, o, lse)
+
+
+def _flash_core_bwd(scale, rate, b, interpret, res, g):
+    qu, qv, k, v, pp, kbias, seed, o, lse = res
+    dd = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1)[:, :, None, :]
+    dqu, dqv, dk, dv, dp = _pallas_bwd(
+        qu, qv, k, v, pp, kbias, seed, lse, g.astype(qu.dtype), dd,
+        scale, rate, b, interpret)
+    return (dqu.astype(qu.dtype), dqv.astype(qv.dtype),
+            dk.astype(k.dtype), dv.astype(v.dtype), dp.astype(pp.dtype),
+            None, None)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+def flash_relpos_attention(q, k, v, p, u_bias, v_bias, kmask, *,
+                           scale=None, dropout_rate=0.0, seed=None,
+                           block=256, interpret=False):
+    """Fused rel-pos attention. Shapes follow the MHSA layer:
+
+      q, k, v : (N, T, H, Dh)      p : (2T-1, H, Dh)
+      u_bias, v_bias : (H, Dh)     kmask : (N, T) bool (valid keys)
+
+    Returns (N, T, H, Dh) — softmax((q+u)·kᵀ + shift((q+v)·pᵀ))·scale)·v,
+    with padded keys masked out. Invalid *query* rows are NOT zeroed
+    (callers mask them, matching the layer). `seed` is a (2,) int32 array
+    for the in-kernel dropout PRNG (required if dropout_rate > 0).
+    """
+    N, T, H, Dh = q.shape
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(Dh))
+    b = min(block, _round_up(T, 128))
+    Tp = _round_up(T, b)
+    Dp = _round_up(Dh, 128)
+
+    def prep(x):  # (N, T, H, Dh) → padded (N, H, Tp, Dp)
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T), (0, Dp - Dh)))
+
+    qu = prep(q + u_bias[None, None])
+    qv = prep(q + v_bias[None, None])
+    kp = prep(k)
+    vp = prep(v)
+    # p table in padded coordinates: p_pad[h, m'] = p[m' - (Tp - T), h]
+    # for m' in [Tp-T, Tp+T-1), zeros elsewhere (only masked entries hit
+    # the zero region). Shape (H, 2Tp, Dp).
+    pt = jnp.transpose(p, (1, 0, 2))  # (H, 2T-1, Dh)
+    pp = jnp.pad(pt, ((0, 0), (Tp - T, Tp - T + 1), (0, Dp - Dh)))
+    kb = jnp.where(jnp.pad(kmask, ((0, 0), (0, Tp - T))), 0.0, NEG)
+    kb = kb.astype(jnp.float32)[:, None, :]
+    if seed is None:
+        seed = jnp.zeros((2,), jnp.int32)
+    o = _flash_core(qu, qv, kp, vp, pp, kb, seed,
+                    float(scale), float(dropout_rate), b, interpret)
+    o = o[:, :, :T, :Dh]
+    return jnp.transpose(o, (0, 2, 1, 3))
+
+
+def relpos_attention_reference(q, k, v, p, u_bias, v_bias, kmask,
+                               scale=None):
+    """Pure-XLA reference (no dropout), same math as the MHSA layer."""
+    N, T, H, Dh = q.shape
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(Dh))
+    ac = jnp.einsum("nthd,nshd->nhts", q + u_bias[None, None], k,
+                    preferred_element_type=jnp.float32)
+    bd = jnp.einsum("nthd,mhd->nhtm", q + v_bias[None, None], p,
+                    preferred_element_type=jnp.float32)
+    x = jnp.pad(bd, ((0, 0), (0, 0), (0, 0), (1, 0)))
+    x = x.reshape(N, H, 2 * T, T)[:, :, 1:, :]
+    bd = x.reshape(N, H, T, 2 * T - 1)[..., :T]
+    s = (ac + bd) * scale
+    s = jnp.where(kmask[:, None, None, :], s, NEG)
+    attn = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("nhts,nshd->nthd", attn.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)

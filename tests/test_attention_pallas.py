@@ -1,0 +1,114 @@
+"""Flash rel-pos attention kernel vs the pure-XLA reference.
+
+Runs in Pallas interpret mode on the CPU backend (no dropout — the
+hardware PRNG has no CPU lowering; the dropout path is exercised on TPU
+by the bench and by test parity of seeds in ops/dropout_pallas.py)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cat_tpu.ops.attention_pallas import (flash_relpos_attention,
+                                          relpos_attention_reference)
+
+
+def _inputs(N, T, H, Dh, seed=0, ragged=True):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((N, T, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, T, H, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, T, H, Dh)), jnp.float32)
+    p = jnp.asarray(rng.standard_normal((2 * T - 1, H, Dh)) * 0.5,
+                    jnp.float32)
+    u = jnp.asarray(rng.standard_normal((H, Dh)) * 0.1, jnp.float32)
+    vb = jnp.asarray(rng.standard_normal((H, Dh)) * 0.1, jnp.float32)
+    if ragged:
+        lengths = rng.integers(max(1, T // 2), T + 1, size=N)
+        lengths[0] = T
+    else:
+        lengths = np.full(N, T)
+    kmask = jnp.arange(T)[None, :] < jnp.asarray(lengths)[:, None]
+    return q, k, v, p, u, vb, kmask
+
+
+@pytest.mark.parametrize("N,T,H,Dh,block", [
+    (2, 50, 2, 32, 128),    # single tile, padded T and Dh
+    (2, 200, 2, 64, 128),   # multi-tile online softmax (nq = nk = 2)
+    (1, 128, 4, 128, 128),  # exact tile fit
+    (2, 300, 2, 64, 256),   # block > needed, Tp = 512... (nq = 2)
+])
+def test_forward_matches_reference(N, T, H, Dh, block):
+    q, k, v, p, u, vb, kmask = _inputs(N, T, H, Dh)
+    ref = relpos_attention_reference(q, k, v, p, u, vb, kmask)
+    out = flash_relpos_attention(q, k, v, p, u, vb, kmask,
+                                 block=block, interpret=True)
+    qvalid = np.asarray(kmask)[:, :, None, None]
+    np.testing.assert_allclose(np.where(qvalid, np.asarray(out), 0.0),
+                               np.where(qvalid, np.asarray(ref), 0.0),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_grads_match_reference():
+    N, T, H, Dh = 2, 200, 2, 64
+    q, k, v, p, u, vb, kmask = _inputs(N, T, H, Dh, seed=3)
+    # scalar loss that only reads valid query rows (like the layer, which
+    # zeroes invalid ones)
+    w = jnp.asarray(
+        np.random.default_rng(1).standard_normal((N, T, H, Dh)),
+        jnp.float32) * kmask[:, :, None, None]
+
+    def loss(fn, args):
+        return jnp.sum(fn(*args, kmask) * w)
+
+    args = (q, k, v, p, u, vb)
+    g_ref = jax.grad(lambda a: loss(relpos_attention_reference, a))(args)
+    g_ker = jax.grad(lambda a: loss(
+        lambda *s: flash_relpos_attention(*s, block=128, interpret=True),
+        a))(args)
+    for gr, gk, name in zip(g_ref, g_ker, "q k v p u vb".split()):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=2e-4, atol=3e-5, err_msg=name)
+
+
+def test_single_query_block_grads():
+    N, T, H, Dh = 1, 60, 2, 32
+    q, k, v, p, u, vb, kmask = _inputs(N, T, H, Dh, seed=5)
+    w = jnp.asarray(
+        np.random.default_rng(2).standard_normal((N, T, H, Dh)),
+        jnp.float32) * kmask[:, :, None, None]
+
+    def loss(fn):
+        return jnp.sum(fn(q, k, v, p, u, vb, kmask) * w)
+
+    g_ref = jax.grad(lambda qq: loss(
+        lambda *a: relpos_attention_reference(*a)))(q)
+    # ^ grad wrt q only via closure substitution
+    g_ref = jax.grad(lambda qq: jnp.sum(relpos_attention_reference(
+        qq, k, v, p, u, vb, kmask) * w))(q)
+    g_ker = jax.grad(lambda qq: jnp.sum(flash_relpos_attention(
+        qq, k, v, p, u, vb, kmask, block=128, interpret=True) * w))(q)
+    np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_ref),
+                               rtol=2e-4, atol=3e-5)
+
+
+def test_layer_integration_flash():
+    """RelPositionMultiHeadAttention with CAT_TPU_FLASH_ATTN=interpret
+    matches the stock XLA path (deterministic, f32)."""
+    import os
+    from cat_tpu.models.layers import (RelPositionMultiHeadAttention,
+                                       length_mask)
+    N, T, D, H = 2, 70, 64, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    lengths = jnp.asarray([T, T - 17])
+    mask = length_mask(lengths, T)
+    mod = RelPositionMultiHeadAttention(num_heads=H, d_model=D)
+    params = mod.init(jax.random.PRNGKey(0), x, mask)
+    ref = mod.apply(params, x, mask)
+    os.environ["CAT_TPU_FLASH_ATTN"] = "interpret"
+    try:
+        out = mod.apply(params, x, mask)
+    finally:
+        os.environ.pop("CAT_TPU_FLASH_ATTN")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
