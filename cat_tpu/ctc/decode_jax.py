@@ -60,7 +60,7 @@ def ctc_beam_search_device(log_probs, lengths, beam_width=8, topk=8,
       scores: (N, W) total log-probabilities, best-first.
     """
     N, T, V = log_probs.shape
-    W, K = beam_width, topk
+    W, K = beam_width, min(topk, V)  # top-k can't exceed the vocab
     C = W * (K + 1)  # candidates per utterance
 
     pb0 = jnp.full((N, W), LOG_EPS).at[:, 0].set(0.0)

@@ -131,8 +131,15 @@ def make_loss_fn(model, loss_type="ctc", den: Optional[DenDevice] = None,
 
 
 def make_train_step(model, tx, loss_type="ctc", den=None, lamb=0.1,
-                    specaug_cfg=None, grad_clip=5.0):
+                    specaug_cfg=None, grad_clip=5.0, grad_accum_fold=1):
+    """grad_accum_fold > 1 enables weight-aware gradient accumulation
+    (manager.py:660-676 no_sync fold semantics): init_state must then be
+    called with the SAME wrapped transform, see accum_tx()."""
     loss_fn = make_loss_fn(model, loss_type, den, lamb, specaug_cfg)
+
+    if grad_accum_fold > 1:
+        return _make_accum_train_step(loss_fn, tx, grad_clip,
+                                      grad_accum_fold)
 
     # donate the input state: params/opt-state buffers are reused for
     # the output, halving peak HBM for the largest arrays
@@ -154,6 +161,49 @@ def make_train_step(model, tx, loss_type="ctc", den=None, lamb=0.1,
                                   opt_state=opt_state,
                                   step=state.step + 1)
         return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    return train_step
+
+
+def accum_tx(tx, grad_accum_fold: int, grad_clip: float = 5.0):
+    """Wrap an optax transform for fold-N accumulation; pass the result
+    as `tx` to init_state so opt_state carries the accumulators."""
+    from cat_tpu.utils.grad_accum import WeightedMultiSteps
+
+    return WeightedMultiSteps(tx, grad_accum_fold, grad_clip)
+
+
+def _make_accum_train_step(loss_fn, tx, grad_clip, fold):
+    """Shared fold-N step builder: tx may be raw (wrapped here) or an
+    already-wrapped WeightedMultiSteps."""
+    from cat_tpu.utils.grad_accum import WeightedMultiSteps
+
+    wrapped = tx if isinstance(tx, WeightedMultiSteps) \
+        else WeightedMultiSteps(tx, fold, grad_clip)
+
+    def sum_objective(params, batch_stats, batch, rng):
+        # gradients of the weighted SUM; the wrapper divides by the
+        # fold-total weight at the boundary -> exact global-mean grads
+        _, (new_stats, per_seq) = loss_fn(params, batch_stats, batch,
+                                          rng, True)
+        w = batch["weight"]
+        return jnp.sum(per_seq * w), (new_stats, jnp.sum(w))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, lr, rng):
+        (loss_sum, (new_stats, w_sum)), grads = jax.value_and_grad(
+            sum_objective, has_aux=True)(
+                state.params, state.batch_stats, batch, rng)
+        opt_state = set_lr(state.opt_state, lr)
+        updates, opt_state, gnorm, applied = wrapped.update(
+            grads, opt_state, state.params, w_sum)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(params=params, batch_stats=new_stats,
+                                  opt_state=opt_state,
+                                  step=state.step + 1)
+        loss = loss_sum / jnp.maximum(w_sum, 1.0)
+        return new_state, {"loss": loss, "grad_norm": gnorm,
+                           "applied": applied}
 
     return train_step
 

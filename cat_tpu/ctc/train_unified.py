@@ -54,11 +54,29 @@ def init_state(model, tx, feat_dim: int, rng=None) -> TrainState:
 
 def make_train_step(model, tx, loss_type="ctc", den=None, lamb=0.1,
                     specaug_cfg=None, grad_clip=5.0, lamb_chunk=0.5,
-                    lamb_simu=1.0, future="simu"):
-    from cat_tpu.ctc.train import set_lr
+                    lamb_simu=1.0, future="simu", grad_accum_fold=1):
+    from cat_tpu.ctc.train import _make_accum_train_step, set_lr
     from cat_tpu.ops.specaug import specaug
 
     loss_fn = make_unified_loss_fn(model, lamb_chunk, lamb_simu, future)
+
+    if grad_accum_fold > 1:
+        # adapt to the (loss, (stats, per_seq)) interface: the unified
+        # loss is a per-batch weighted mean, so broadcasting it as
+        # per_seq makes the fold wrapper's sum/weight bookkeeping exact
+        def fold_loss(params, batch_stats, batch, rng, train):
+            k_aug, k_loss = jax.random.split(rng)
+            if train and specaug_cfg is not None:
+                feats = specaug(k_aug, batch["feats"],
+                                batch["feat_lengths"], **specaug_cfg)
+                batch = dict(batch, feats=feats)
+            loss, (stats, _, _, _) = loss_fn(
+                params, batch_stats, batch, k_loss, train)
+            per_seq = jnp.broadcast_to(loss, batch["weight"].shape)
+            return loss, (stats, per_seq)
+
+        return _make_accum_train_step(fold_loss, tx, grad_clip,
+                                      grad_accum_fold)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):

@@ -126,6 +126,71 @@ class Fst:
             fileobj.close()
         return fst
 
+    @classmethod
+    def read_openfst(cls, path, negate_weights=True):
+        """Read an OpenFST binary StdVectorFst (the on-disk format of
+        den_lm.fst etc.) — the same loader role as fst_read.cc:45-62:
+        tropical (-log) weights are negated into log-probs, +inf final
+        weight means non-final. Only vector/standard (const also works:
+        same arc layout after the header) little-endian files."""
+        import struct
+
+        with open(path, "rb") as f:
+            data = f.read()
+        off = 0
+
+        def u32():
+            nonlocal off
+            (v,) = struct.unpack_from("<i", data, off)
+            off += 4
+            return v
+
+        def u64():
+            nonlocal off
+            (v,) = struct.unpack_from("<q", data, off)
+            off += 8
+            return v
+
+        def f32():
+            nonlocal off
+            (v,) = struct.unpack_from("<f", data, off)
+            off += 4
+            return v
+
+        magic = u32()
+        if magic != 2125659606:
+            raise ValueError(f"not an OpenFST binary file: magic={magic}")
+        fsttype = data[off + 4: off + 4 + u32()].decode()
+        off += len(fsttype)
+        arctype = data[off + 4: off + 4 + u32()].decode()
+        off += len(arctype)
+        if fsttype not in ("vector", "const") or arctype != "standard":
+            raise ValueError(f"unsupported fst/arc type: "
+                             f"{fsttype}/{arctype}")
+        u32()  # version
+        u32()  # flags
+        u64()  # properties
+        start = u64()
+        num_states = u64()
+        u64()  # numarcs (unused; -1 in some versions)
+
+        fst = cls(num_states=int(num_states), start=int(start))
+        sgn = -1.0 if negate_weights else 1.0
+        for s in range(num_states):
+            w = f32()
+            if w != float("inf"):
+                fst.finals[s] = sgn * w
+            narcs = u64()
+            for _ in range(narcs):
+                il = u32()
+                ol = u32()
+                aw = f32()
+                dst = u32()
+                fst.arcs.append((s, dst, il, ol, sgn * aw))
+        if off != len(data):
+            raise ValueError(f"trailing bytes: read {off} of {len(data)}")
+        return fst
+
     def save(self, path):
         arr, w = self.arrays()
         np.savez(path, arcs=arr, weights=w, start=np.int32(self.start),

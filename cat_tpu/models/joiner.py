@@ -86,8 +86,14 @@ class HAT(nn.Module):
 
 class LogAdd(nn.Module):
     """'Simple' logit-free joiner: separate V-dim projections summed in
-    the loss (joiner.py:212+, warp_rnnt rnnt_loss_simple path). Returns
-    the two factors; the loss fuses them without a (N,T,U,V) tensor."""
+    the loss (joiner.py:212-235, warp_rnnt rnnt_loss_simple path).
+
+    Training inputs (N,T,De)/(N,U1,Dp) return the two factors (f, g);
+    the fused loss (ops.rnnt_simple) combines them without materializing
+    a (N,T,U,V) tensor. Decode-step inputs (N,De)/(N,Dp) return
+    log_softmax(f+g) — already normalized, matching the reference's
+    inference mode (joiner.py:230-235); decoders must therefore treat a
+    LogAdd joiner as joiner_normalized."""
 
     odim: int
 
@@ -95,4 +101,6 @@ class LogAdd(nn.Module):
     def __call__(self, enc, pred):
         e = nn.Dense(self.odim, name="fc_enc")(enc)
         p = nn.Dense(self.odim, name="fc_pred")(pred)
+        if e.ndim <= 2:
+            return jax.nn.log_softmax(e + p, axis=-1)
         return e, p

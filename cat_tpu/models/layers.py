@@ -31,11 +31,12 @@ def length_mask(lengths, T):
 
 
 class Dropout(nn.Module):
-    """Dropout that dispatches to the fused Pallas kernel when
-    CAT_TPU_FUSED_DROPOUT=1 (or =interpret off-TPU). The fused path
-    generates the mask with the core's hardware PRNG inside one pass
-    over the tensor and regenerates it in the backward pass — no stored
-    mask, no extra HBM round-trip (see ops/dropout_pallas.py)."""
+    """Dropout that dispatches to the fused Pallas kernel (default ON on
+    TPU via the "fused_dropout" perf flag; =interpret runs the kernel in
+    interpreter mode off-TPU). The fused path generates the mask with
+    the core's hardware PRNG inside one pass over the tensor and
+    regenerates it in the backward pass — no stored mask, no extra HBM
+    round-trip (see ops/dropout_pallas.py)."""
 
     rate: float
 
@@ -43,7 +44,8 @@ class Dropout(nn.Module):
     def __call__(self, x, deterministic=True):
         if deterministic or self.rate <= 0.0:
             return x
-        mode = os.environ.get("CAT_TPU_FUSED_DROPOUT", "")
+        from cat_tpu.utils.flags import resolve
+        mode = resolve("fused_dropout")
         if mode not in ("1", "interpret"):
             return nn.Dropout(self.rate)(x, deterministic=False)
         from cat_tpu.ops.dropout_pallas import fused_dropout, key_to_seed
@@ -214,7 +216,8 @@ class RelPositionMultiHeadAttention(nn.Module):
         v_bias = self.param("v_bias", nn.initializers.zeros, (H, Dh))
         u_bias = u_bias.astype(self.dtype)
         v_bias = v_bias.astype(self.dtype)
-        flash = os.environ.get("CAT_TPU_FLASH_ATTN", "")
+        from cat_tpu.utils.flags import resolve
+        flash = resolve("flash_attn")
         # gate to one device unless forced: GSPMD has no partitioning
         # rule for an opaque pallas_call, so under a multi-chip mesh it
         # would all-gather the activations around the kernel. Multi-chip

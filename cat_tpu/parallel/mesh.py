@@ -39,10 +39,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a pytree of host arrays with batch-axis sharding."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x))),
-        batch)
+    """Device-put a pytree of host arrays with batch-axis sharding.
+
+    Single-process: a plain device_put. Multi-process (real multi-host
+    SPMD): each process holds only its contiguous batch slice (see
+    BucketedLoader host_index/host_count) and the global jax.Array is
+    assembled from the per-process shards — the host_local→global step
+    the reference never needed because DDP keeps per-rank batches."""
+    multiproc = jax.process_count() > 1
+
+    def put(x):
+        sh = batch_sharding(mesh, np.ndim(x))
+        if multiproc:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def zero1_shardings(pytree, mesh: Mesh, min_size: int = 2 ** 16):

@@ -127,10 +127,19 @@ def stage_train(expdir, hyper, config, tok):
 
     model = task.build_model(config, num_classes=tok.vocab_size)
     sched, tx = build_scheduler(config["scheduler"])
-    state = task.init_state(model, tx, tr_ds.feat_dim)
 
     trainer_cfg = config.get("trainer", {})
     loss_type = trainer_cfg.get("loss", "ctc")
+    # fold-N gradient accumulation (manager.py:660-676 semantics): the
+    # wrapped transform carries the accumulators inside opt_state
+    fold = int(trainer_cfg.get("grad_accum_fold",
+                               opts.get("grad_accum_fold", 1)))
+    grad_clip = float(trainer_cfg.get("grad_clip", 5.0))
+    if fold > 1:
+        from cat_tpu.ctc.train import accum_tx
+        tx = accum_tx(tx, fold, grad_clip)
+    state = task.init_state(model, tx, tr_ds.feat_dim)
+
     den = None
     if loss_type == "crf":
         den = build_den(expdir, hyper, tok, tr_ds)
@@ -138,19 +147,27 @@ def stage_train(expdir, hyper, config, tok):
 
     loader_kw = dict(frame_budget=opts.get("frame_budget", 20000),
                      num_buckets=opts.get("num_buckets", 4),
-                     multiple_of=max(jax.device_count(), 1))
+                     multiple_of=max(jax.device_count(), 1),
+                     host_index=jax.process_index(),
+                     host_count=jax.process_count())
     train_loader = BucketedLoader(tr_ds, seed=opts.get("seed", 0),
                                   **loader_kw)
     eval_loader = BucketedLoader(dv_ds, shuffle=False, **loader_kw)
 
     if hyper["train"]["bin"].endswith("rnnt.train"):
-        train_step = task.make_train_step(model, tx,
-                                          specaug_cfg=specaug_cfg)
-        eval_step = task.make_eval_step(model)
+        rnnt_kw = dict(topo=trainer_cfg.get("topo", "rnnt"),
+                       eos_id=trainer_cfg.get("eos_id", -1),
+                       joiner_normalized=config.get("joiner", {}).get(
+                           "type") == "HAT")
+        train_step = task.make_train_step(
+            model, tx, specaug_cfg=specaug_cfg, grad_clip=grad_clip,
+            grad_accum_fold=fold, **rnnt_kw)
+        eval_step = task.make_eval_step(model, **rnnt_kw)
     else:
         train_step = task.make_train_step(
             model, tx, loss_type, den=den,
-            lamb=trainer_cfg.get("lamb", 0.1), specaug_cfg=specaug_cfg)
+            lamb=trainer_cfg.get("lamb", 0.1), specaug_cfg=specaug_cfg,
+            grad_clip=grad_clip, grad_accum_fold=fold)
         eval_step = task.make_eval_step(
             model, loss_type, den=den, lamb=trainer_cfg.get("lamb", 0.1))
 
@@ -177,7 +194,10 @@ def stage_train(expdir, hyper, config, tok):
                   train_loader=train_loader, eval_loader=eval_loader,
                   put_batch=put_batch,
                   max_epochs=opts.get("max_epochs", 100),
-                  check_freq=opts.get("check_freq", -1))
+                  check_freq=opts.get("check_freq", -1),
+                  grad_accum_fold=fold,
+                  eval_metric=_make_eval_metric(
+                      hyper, config, model, tok, dv_ds, opts))
     _write_exp_readme(expdir, hyper, config, state, tok)
     resume = opts.get("resume")
     if resume:
@@ -190,6 +210,87 @@ def stage_train(expdir, hyper, config, tok):
     except Exception:
         pass
     return mgr
+
+
+def _make_eval_metric(hyper, config, model, tok, dv_ds, opts):
+    """Train-time WER evaluation as the scheduler metric (the
+    reference's custom_evaluate, cat/ctc/train.py:213-281: dev WER via
+    beam decode gathered across ranks). Enable with
+    hyper["train"]["option"]["eval_wer"] = true or {"beam_width": N}.
+    Returns a callable(state) -> WER%, or None when disabled."""
+    cfg = opts.get("eval_wer")
+    if not cfg:
+        return None
+    if not isinstance(cfg, dict):
+        cfg = {}
+    import jax
+    import jax.numpy as jnp
+
+    from cat_tpu.utils.data import BucketedLoader
+    from cat_tpu.utils.wer import wer as wer_fn
+
+    beam = int(cfg.get("beam_width", 1))
+    char_level = bool(cfg.get("cer", False))
+    is_rnnt = hyper["train"]["bin"].endswith("rnnt.train")
+    loader = BucketedLoader(dv_ds, shuffle=False,
+                            frame_budget=opts.get("frame_budget", 20000),
+                            num_buckets=opts.get("num_buckets", 4),
+                            multiple_of=max(jax.device_count(), 1))
+
+    if is_rnnt:
+        from cat_tpu.rnnt.decode import make_greedy_decoder
+        greedy = make_greedy_decoder(model)
+
+        def decode_batch(state, b):
+            toks, counts = greedy(state, jnp.asarray(b["feats"]),
+                                  jnp.asarray(b["feat_lengths"]))
+            toks, counts = np.asarray(toks), np.asarray(counts)
+            return [list(toks[n, : counts[n]])
+                    for n in range(toks.shape[0])]
+    else:
+        from cat_tpu.ctc.decode import greedy_decode
+        from cat_tpu.ctc.decode_jax import ctc_beam_search_device
+
+        @jax.jit
+        def apply(variables, x, lens):
+            logits, olens = model.apply(variables, x, lens,
+                                        deterministic=True)
+            return jax.nn.log_softmax(
+                logits.astype(jnp.float32), -1), olens
+
+        def decode_batch(state, b):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            lp, olens = apply(variables, jnp.asarray(b["feats"]),
+                              jnp.asarray(b["feat_lengths"]))
+            if beam > 1:
+                prefixes, plens, _ = ctc_beam_search_device(
+                    lp, olens, beam_width=beam,
+                    max_len=int(b["labels"].shape[1]) + 8)
+                prefixes = np.asarray(prefixes)
+                plens = np.asarray(plens)
+                return [list(prefixes[n, 0, : plens[n, 0]])
+                        for n in range(lp.shape[0])]
+            return greedy_decode(lp, olens)
+
+    def eval_metric(state):
+        refs, hyps = [], []
+        for batch in loader:
+            b = batch.asdict()
+            dec = decode_batch(state, b)
+            w = np.asarray(b["weight"])
+            labels = np.asarray(b["labels"])
+            llens = np.asarray(b["label_lengths"])
+            for n in range(len(dec)):
+                if w[n] <= 0:
+                    continue
+                refs.append(tok.decode(
+                    [int(x) for x in labels[n, : llens[n]]]))
+                hyps.append(tok.decode([int(x) for x in dec[n]]))
+        return wer_fn(refs, hyps, char_level=char_level)["wer"]
+
+    return eval_metric
 
 
 def _write_exp_readme(expdir, hyper, config, state, tok):
@@ -252,72 +353,273 @@ def build_den(expdir, hyper, tok, tr_ds):
     return DenDevice.from_graph(g)
 
 
-def stage_decode(expdir, hyper, config, tok):
-    import jax
-    import jax.numpy as jnp
-
-    from cat_tpu.ctc.decode import batch_prefix_beam_search
+def _load_decode_state(expdir, hyper):
+    """Checkpoint selection + averaging for inference
+    (cat/utils/avgmodel.py:20-111 best-N vs last-N semantics, wired
+    like asr.py:322-329)."""
     from cat_tpu.utils.checkpoint import (CheckpointManager,
                                           average_checkpoints,
                                           load_checkpoint)
-    from cat_tpu.utils.data import SpeechDataset
-    from cat_tpu.utils.wer import wer
-
-    task = importlib.import_module(hyper["train"]["bin"])
-    pkl_dir = os.path.join(expdir, "pkl")
-    test_split = hyper.get("inference", {}).get("split", "dev")
-    ds = SpeechDataset(os.path.join(pkl_dir, test_split))
-    model = task.build_model(config, num_classes=tok.vocab_size)
 
     ckpt = CheckpointManager(os.path.join(expdir, "check"))
-    inf = hyper.get("inference", {})
-    avg = inf.get("avgmodel", {})
+    avg = hyper.get("inference", {}).get("avgmodel", {})
 
     def unpack(st):
         if hasattr(st, "params"):
             return st.params, st.batch_stats
         return st["params"], st.get("batch_stats", {})
 
-    best = ckpt.best()
-    params, batch_stats = unpack(load_checkpoint(ckpt.path(best))["state"])
-    if avg.get("num", 0) > 1:
-        entries = sorted(ckpt.entries, key=lambda e: e[1])[: avg["num"]]
-        paths = [ckpt.path(e[0]) for e in entries
-                 if os.path.exists(ckpt.path(e[0]))]
+    avail = [e for e in ckpt.entries
+             if os.path.exists(ckpt.path(e[0]))]
+    if not avail:
+        raise FileNotFoundError(f"no checkpoints under {ckpt.dir}")
+    num = int(avg.get("num", 0))
+    mode = avg.get("mode", "best")
+    if num > 1:
+        if mode == "last":
+            # most recent N by step (avgmodel.py last-N)
+            chosen = sorted(avail, key=lambda e: e[2])[-num:]
+        else:
+            # lowest dev metric N (avgmodel.py best-N)
+            chosen = sorted(avail, key=lambda e: e[1])[:num]
+        paths = [ckpt.path(e[0]) for e in chosen]
         if len(paths) > 1:
-            avg_state = average_checkpoints(paths, key="state")
-            params, batch_stats = unpack(avg_state)
+            return unpack(average_checkpoints(paths, key="state"))
+    best = min(avail, key=lambda e: e[1])[0]
+    return unpack(load_checkpoint(ckpt.path(best))["state"])
+
+
+def _build_wfst_decoder(expdir, hyper, config, tok, dec_cfg):
+    """TLG decoding graph from config alone (fst_decode.sh path): G =
+    word n-gram over the training transcripts, L = tokenizer spellings,
+    T = CTC topo. Cached under expdir."""
+    from cat_tpu.fst.decode import WfstDecoder, build_tlg
+    from cat_tpu.fst.fst import Fst
+    from cat_tpu.fst.ngram import train_ngram
+
+    wf = dec_cfg.get("wfst", {})
+    tlg_path = os.path.join(expdir, "tlg.npz")
+    word_list_path = os.path.join(expdir, "tlg_words.txt")
+    if os.path.exists(tlg_path) and os.path.exists(word_list_path):
+        tlg = Fst.load(tlg_path)
+        with open(word_list_path) as f:
+            words = [w.rstrip("\n") for w in f]
+    else:
+        tr = hyper["data"]["train"]
+        text = read_scp(os.path.join(tr, "text"))
+        sents = [t.split() for t in text.values()]
+        words = sorted({w for s in sents for w in s})
+        word2id = {w: i + 1 for i, w in enumerate(words)}
+        wlm = train_ngram(sents, order=wf.get("order", 2))
+        # L: word -> its tokenizer units (unit ids double as "phone"
+        # symbols, mapped identically onto AM outputs)
+        lexicon = [(w, [int(t) for t in tok.encode(w)]) for w in words]
+        phone2id = {i: i for i in range(1, tok.vocab_size)}
+        tlg = build_tlg(lexicon, wlm, phone2id=phone2id,
+                        word2id=word2id, num_classes=tok.vocab_size)
+        tlg.save(tlg_path)
+        with open(word_list_path, "w") as f:
+            f.write("\n".join(words) + "\n")
+    id2word = {i + 1: w for i, w in enumerate(words)}
+    dec = WfstDecoder(tlg, beam=wf.get("beam", 17.0),
+                      max_active=wf.get("max_active", 7000),
+                      acoustic_scale=wf.get("acoustic_scale", 1.0),
+                      lm_scale=wf.get("lm_scale", 1.0))
+    return dec, id2word
+
+
+def _maybe_rescore(expdir, hyper, tok, nbest, dec_cfg):
+    """Optional n-best LM rescoring (cat/lm/rescore.py:145-200 score =
+    am + α·lm + β·len). dec_cfg["rescore"] = {"alpha", "beta",
+    "lm": {"type": "ngram", "order": N} | {"type": "nn", "exp": dir}}."""
+    rs = dec_cfg.get("rescore")
+    if not rs:
+        return None
+    from cat_tpu.lm.rescore import neural_nll, ngram_nll, rescore_nbest
+
+    lm_cfg = rs.get("lm", {"type": "ngram", "order": 3})
+    if lm_cfg.get("type", "ngram") == "ngram":
+        # word-level n-gram over the training transcripts (hyps in the
+        # n-best list are text, so the LM must be over words too)
+        from cat_tpu.fst.ngram import train_ngram
+
+        tr = hyper["data"]["train"]
+        text = read_scp(os.path.join(tr, "text"))
+        lm = train_ngram([s.split() for s in text.values()],
+                         order=lm_cfg.get("order", 3))
+        lm_nll = ngram_nll(lm, nbest)
+    else:
+        # neural LM from a trained lm-pipeline experiment directory
+        from cat_tpu.lm import train as lm_train
+        from cat_tpu.utils import tokenizer as tknz
+        from cat_tpu.utils.checkpoint import (CheckpointManager,
+                                              load_checkpoint)
+
+        lm_dir = lm_cfg["exp"]
+        lm_hyper = load_json(os.path.join(lm_dir, "hyper-p.json"))
+        lm_config = load_json(os.path.join(lm_dir, "config.json"))
+        lm_tok = tknz.load(os.path.join(
+            lm_dir, lm_hyper["tokenizer"].get("file", "tokenizer.tknz")))
+        lm_model = lm_train.build_model(lm_config,
+                                        num_classes=lm_tok.vocab_size)
+        ckpt = CheckpointManager(os.path.join(lm_dir, "check"))
+        st = load_checkpoint(ckpt.path(ckpt.best()))["state"]
+        lm_params = st.params if hasattr(st, "params") else st["params"]
+        lm_nll = neural_nll(lm_model, lm_params, nbest, lm_tok)
+    scored = rescore_nbest(nbest, lm_nll, alpha=rs.get("alpha", 1.0),
+                           beta=rs.get("beta", 0.0))
+    return {uid: hyp for uid, (score, hyp) in scored.items()}
+
+
+def stage_decode(expdir, hyper, config, tok):
+    """Stage 4: batched on-device decode + n-best dump + WER + RTF.
+
+    Decode mode from hyper["inference"]["decode"]["mode"]:
+      "beam" (default) — on-device batched prefix beam search
+        (ctc/decode_jax.py), n-best written for rescoring;
+      "greedy" — argmax collapse;
+      "wfst" — TLG graph decode (fst_decode.sh path) built from config;
+      "streaming" — fixed-chunk chunk_infer (cat/ctc/decode.py:189-207
+        --streaming) for CUSIDE-trained unified models.
+    RNN-T uses the batched beam decoder (fusion/ILM options in
+    "decode": {"alpha","beta","ilm_weight"}).
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from cat_tpu.utils.data import BucketedLoader, SpeechDataset
+    from cat_tpu.utils.nbest import write_nbest
+    from cat_tpu.utils.wer import wer
+
+    task = importlib.import_module(hyper["train"]["bin"])
+    pkl_dir = os.path.join(expdir, "pkl")
+    inf = hyper.get("inference", {})
+    test_split = inf.get("split", "dev")
+    ds = SpeechDataset(os.path.join(pkl_dir, test_split))
+    model = task.build_model(config, num_classes=tok.vocab_size)
+    params, batch_stats = _load_decode_state(expdir, hyper)
 
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
     dec_cfg = inf.get("decode", {})
+    mode = dec_cfg.get("mode", "beam")
     beam = dec_cfg.get("beam_width", 16)
+    nbest_n = int(dec_cfg.get("nbest", min(beam, 8)))
     is_rnnt = hyper["train"]["bin"].endswith("rnnt.train")
-    hyps, refs = {}, {}
+    is_unified = hyper["train"]["bin"].endswith("train_unified")
+
+    loader = BucketedLoader(ds, shuffle=False,
+                            frame_budget=dec_cfg.get("frame_budget",
+                                                     20000),
+                            num_buckets=dec_cfg.get("num_buckets", 4),
+                            multiple_of=max(jax.device_count(), 1))
+
+    wfst_dec = id2word = None
+    if mode == "wfst":
+        wfst_dec, id2word = _build_wfst_decoder(expdir, hyper, config,
+                                                tok, dec_cfg)
+
     if is_rnnt:
         from cat_tpu.rnnt.decode import RNNTBeamDecoder
-        decoder = RNNTBeamDecoder(model, params, beam_width=beam)
+        decoder = RNNTBeamDecoder(
+            model, params, beam_width=beam, batch_stats=batch_stats,
+            alpha=dec_cfg.get("alpha", 0.0),
+            beta=dec_cfg.get("beta", 0.0),
+            ilm_weight=dec_cfg.get("ilm_weight", 0.0))
     else:
-        apply = jax.jit(lambda x, l: model.apply(
-            variables, x, l, deterministic=True))
-    for i in range(len(ds)):
-        f, lab = ds[i]
-        uid = ds.uids[i]
-        if is_rnnt:
-            res = decoder.decode(f[None], np.asarray([f.shape[0]],
-                                                     np.int32))
-            hyps[uid] = tok.decode(res[0][0][1])
+        if is_unified:
+            from cat_tpu.ctc.streaming import chunk_infer
+
+            @jax.jit
+            def apply(x, lens):
+                out, olens = chunk_infer(
+                    model, variables, x, lens,
+                    future=dec_cfg.get("future", "simu"))
+                return jax.nn.log_softmax(
+                    out.astype(jnp.float32), -1), olens
         else:
-            logits, olen = apply(jnp.asarray(f[None]),
-                                 jnp.asarray([f.shape[0]], np.int32))
-            lp = jax.nn.log_softmax(logits, axis=-1)
-            nbest = batch_prefix_beam_search(np.asarray(lp),
-                                             np.asarray(olen),
-                                             beam_width=beam)[0]
-            hyps[uid] = tok.decode(list(nbest[0][1]))
-        refs[uid] = tok.decode([int(x) for x in lab])
+            @jax.jit
+            def apply(x, lens):
+                logits, olens = model.apply(variables, x, lens,
+                                            deterministic=True)
+                return jax.nn.log_softmax(
+                    logits.astype(jnp.float32), -1), olens
+
+    hyps, refs = {}, {}
+    all_nbest = {}
+    audio_s = 0.0
+    t0 = _time.time()
+    for batch in loader:
+        b = batch.asdict()
+        w = np.asarray(b["weight"])
+        labels = np.asarray(b["labels"])
+        llens = np.asarray(b["label_lengths"])
+        flens = np.asarray(b["feat_lengths"])
+        uids = batch.uids
+        if is_rnnt:
+            res = decoder.decode(b["feats"], flens, nbest=nbest_n)
+            per_utt = [[(s, list(p)) for s, p in r] for r in res]
+        else:
+            lp, olens = apply(jnp.asarray(b["feats"]),
+                              jnp.asarray(flens))
+            if mode == "greedy" or (mode == "streaming" and beam <= 1):
+                from cat_tpu.ctc.decode import greedy_decode
+                per_utt = [[(0.0, seq)]
+                           for seq in greedy_decode(lp, olens)]
+            elif mode == "wfst":
+                lp_np, ol_np = np.asarray(lp), np.asarray(olens)
+                per_utt = []
+                for n in range(lp_np.shape[0]):
+                    if w[n] <= 0:
+                        per_utt.append([(0.0, [])])
+                        continue
+                    hyp = wfst_dec.decode(lp_np[n], ol_np[n],
+                                          nbest=nbest_n)
+                    per_utt.append([
+                        (s, [id2word[i] for i in wids if i in id2word])
+                        for s, wids in hyp])
+            else:  # on-device batched prefix beam
+                from cat_tpu.ctc.decode_jax import ctc_beam_search_device
+                prefixes, plens, scores = ctc_beam_search_device(
+                    lp, olens, beam_width=beam,
+                    max_len=int(labels.shape[1]) + 16)
+                prefixes = np.asarray(prefixes)
+                plens = np.asarray(plens)
+                scores = np.asarray(scores)
+                per_utt = [
+                    [(float(scores[n, k]),
+                      list(prefixes[n, k, : plens[n, k]]))
+                     for k in range(min(nbest_n, prefixes.shape[1]))]
+                    for n in range(prefixes.shape[0])]
+        for n in range(len(per_utt)):
+            if w[n] <= 0:
+                continue
+            uid = uids[n] if uids is not None else str(len(hyps))
+            audio_s += float(flens[n]) * 0.01
+            entry = {}
+            for k, (score, toks) in enumerate(per_utt[n]):
+                if toks and isinstance(toks[0], str):
+                    text = " ".join(toks)
+                else:
+                    text = tok.decode([int(t) for t in toks])
+                entry[k] = (float(score), text)
+            all_nbest[uid] = entry
+            hyps[uid] = entry[0][1]
+            refs[uid] = tok.decode([int(x) for x in labels[n, :llens[n]]])
+    wall = _time.time() - t0
+
+    rescored = _maybe_rescore(expdir, hyper, tok, all_nbest, dec_cfg)
+    if rescored is not None:
+        hyps = rescored
+
+    nbest_path = os.path.join(expdir, f"nbest_{test_split}.pkl")
+    write_nbest(all_nbest, nbest_path)
     res = wer(refs, hyps, char_level=dec_cfg.get("cer", False))
+    res["rtf"] = wall / max(audio_s, 1e-6)
+    res["mode"] = mode
     out_path = os.path.join(expdir, f"decode_{test_split}.txt")
     with open(out_path, "w") as f:
         for uid in sorted(hyps):
@@ -325,7 +627,8 @@ def stage_decode(expdir, hyper, config, tok):
     with open(os.path.join(expdir, f"wer_{test_split}.json"), "w") as f:
         json.dump(res, f, indent=1)
     print(f"WER {res['wer']:.2f}% "
-          f"(sub {res['sub']} ins {res['ins']} del {res['del']})")
+          f"(sub {res['sub']} ins {res['ins']} del {res['del']}) "
+          f"RTF {res['rtf']:.4f} [{mode}]")
     return res
 
 

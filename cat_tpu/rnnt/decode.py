@@ -34,13 +34,34 @@ def _tree_where(mask, a, b):
     return jax.tree_util.tree_map(sel, a, b)
 
 
+def _as_variables(params_or_state, batch_stats=None):
+    """Accept a TrainState, a full variables dict, or bare params, and
+    return a flax variables dict with batch_stats included when present
+    (the reference restores the full model state at decode,
+    cat/rnnt/decode.py:204-217 — dropping batch_stats breaks BatchNorm
+    encoders, e.g. the default ConformerNet)."""
+    if hasattr(params_or_state, "params"):  # TrainState
+        v = {"params": params_or_state.params}
+        bs = getattr(params_or_state, "batch_stats", None)
+        if bs:
+            v["batch_stats"] = bs
+        return v
+    if isinstance(params_or_state, dict) and "params" in params_or_state:
+        return dict(params_or_state)
+    v = {"params": params_or_state}
+    if batch_stats:
+        v["batch_stats"] = batch_stats
+    return v
+
+
 def make_greedy_decoder(model, blank=0, max_symbols=4, max_out=200,
-                        joiner_normalized=False):
+                        joiner_normalized=False, batch_stats=None):
     """Returns jitted fn(params, feats, flens) →
-    (tokens (N, max_out), counts (N,))."""
+    (tokens (N, max_out), counts (N,)). `params` may be bare params, a
+    {"params": ..., "batch_stats": ...} dict, or a TrainState."""
 
     def decode(params, feats, flens):
-        v = {"params": params}
+        v = _as_variables(params, batch_stats)
         enc, olens = model.apply(v, feats, flens, deterministic=True,
                                  method=model.encode)
         N, T, _ = enc.shape
@@ -111,7 +132,8 @@ class RNNTBeamDecoder:
 
     def __init__(self, model, params, beam_width=8, blank=0,
                  lm=None, alpha=0.0, beta=0.0, max_symbols=3,
-                 joiner_normalized=False, ilm_weight=0.0):
+                 joiner_normalized=False, ilm_weight=0.0,
+                 batch_stats=None):
         self.model = model
         self.params = params
         self.W = beam_width
@@ -120,9 +142,14 @@ class RNNTBeamDecoder:
         self.alpha = alpha
         self.beta = beta
         self.max_symbols = max_symbols
+        from cat_tpu.models.joiner import HAT, LogAdd
+
+        # LogAdd/HAT joiners return log-probs from decode-mode join
+        if isinstance(model.joiner, (LogAdd, HAT)):
+            joiner_normalized = True
         self.joiner_normalized = joiner_normalized
         self.ilm_weight = ilm_weight
-        v = {"params": params}
+        v = _as_variables(params, batch_stats)
         self._encode = jax.jit(lambda f, l: model.apply(
             v, f, l, deterministic=True, method=model.encode))
         self._pred_step = jax.jit(lambda t, s: model.apply(

@@ -21,17 +21,26 @@ import optax
 import flax.linen as nn
 
 from cat_tpu import models
+from cat_tpu.models import joiner as joiner_zoo
 from cat_tpu.ops.rnnt import rnnt_loss
+from cat_tpu.ops.rnnt_simple import rnnt_loss_simple
 from cat_tpu.ops.specaug import specaug
 from cat_tpu.utils.manager import TrainState
 
 
 class TransducerModel(nn.Module):
-    """Encoder + predictor + joiner; blank = 0 = <bos>."""
+    """Encoder + predictor + joiner; blank = 0 = <bos>.
+
+    predictor_mask (cat/rnnt/train.py:203-204): SpecAug-style time
+    masking of the predictor output during training — num_predictor_mask
+    masks whose width is capped at predictor_mask_range (a fraction of
+    the label length when < 1, an absolute width otherwise)."""
 
     encoder: nn.Module
     predictor: nn.Module
     joiner: nn.Module
+    predictor_mask_range: float = 0.1
+    num_predictor_mask: int = -1
 
     def __call__(self, feats, flens, labels, llens, deterministic=True):
         enc, olens = self.encoder(feats, flens,
@@ -41,7 +50,17 @@ class TransducerModel(nn.Module):
         pred_in = jnp.concatenate([bos, labels.astype(jnp.int32)], axis=1)
         pred, _ = self.predictor(pred_in, llens + 1,
                                  deterministic=deterministic)
-        logits = self.joiner(enc, pred)  # (N, T, U+1, V)
+        if not deterministic and self.num_predictor_mask > 0:
+            from cat_tpu.ops.specaug import _mask_time_adaptive
+
+            if self.predictor_mask_range < 1:
+                cap, ratio = pred.shape[1], self.predictor_mask_range
+            else:
+                cap, ratio = int(self.predictor_mask_range), 1.0
+            pred = _mask_time_adaptive(
+                self.make_rng("pred_mask"), pred, llens + 1,
+                self.num_predictor_mask, cap, ratio)
+        logits = self.joiner(enc, pred)  # (N,T,U+1,V) or (f, g) tuple
         return logits, olens
 
     def encode(self, feats, flens, deterministic=True):
@@ -61,7 +80,8 @@ class TransducerModel(nn.Module):
 
 def build_model(cfg: dict, num_classes: int) -> TransducerModel:
     """cfg: {"encoder": {...}, "decoder"/"predictor": {...},
-    "joiner": {...}} — type/kwargs reflection like the reference."""
+    "joiner": {...}, "trainer": {...}} — type/kwargs reflection like the
+    reference (cat/rnnt/train.py:240-353)."""
     enc_cfg = cfg["encoder"]
     enc_kw = dict(enc_cfg.get("kwargs", {}))
     enc_kw["with_head"] = False
@@ -78,8 +98,22 @@ def build_model(cfg: dict, num_classes: int) -> TransducerModel:
     join_kw = dict(join_cfg.get("kwargs", {}))
     join_kw["odim"] = num_classes
     joiner = models.get_joiner(join_cfg["type"])(**join_kw)
-    return TransducerModel(encoder=encoder, predictor=predictor,
-                           joiner=joiner)
+    trainer_cfg = cfg.get("trainer", {})
+    return TransducerModel(
+        encoder=encoder, predictor=predictor, joiner=joiner,
+        predictor_mask_range=trainer_cfg.get("predictor_mask_range", 0.1),
+        num_predictor_mask=trainer_cfg.get("num_predictor_mask", -1))
+
+
+def _append_eos(labels, llens, eos_id: int):
+    """Append <eos> after the last label (cat/rnnt/train.py:112-223
+    eos_id option): pad one column and scatter eos at position llens."""
+    N = labels.shape[0]
+    labels = jnp.concatenate(
+        [labels.astype(jnp.int32), jnp.zeros((N, 1), jnp.int32)], axis=1)
+    pos = jnp.arange(labels.shape[1])[None, :]
+    labels = jnp.where(pos == llens[:, None], eos_id, labels)
+    return labels, llens + 1
 
 
 def init_state(model, tx, feat_dim: int, rng=None) -> TrainState:
@@ -97,44 +131,61 @@ def init_state(model, tx, feat_dim: int, rng=None) -> TrainState:
 
 
 def make_loss_fn(model, specaug_cfg: Optional[dict] = None,
-                 joiner_normalized: bool = False, topo: str = "rnnt"):
+                 joiner_normalized: bool = False, topo: str = "rnnt",
+                 eos_id: int = -1):
     """joiner_normalized: True for HAT (already log-probs).
     topo: 'rnnt' (standard) or 'rna'/'ctct' (monotonic, every emission
-    consumes a frame — cat/rnnt/train.py:210 topo option)."""
+    consumes a frame — cat/rnnt/train.py:210 topo option).
+    eos_id: append <eos> to targets when >= 0 (cat/rnnt/train.py eos_id).
+
+    A LogAdd joiner (models.joiner.LogAdd) is dispatched automatically
+    to the fused simple loss (ops.rnnt_simple / ops.rnnt_rna simple) —
+    the (N,T,U,V) lattice is never materialized, matching the
+    reference's warp_rnnt.rnnt_loss_simple path
+    (cat/rnnt/train.py:206-213)."""
+    is_simple = isinstance(model.joiner, joiner_zoo.LogAdd)
 
     def loss_fn(params, batch_stats, batch, rng, train):
         feats = batch["feats"]
         flens = batch["feat_lengths"]
-        k_aug, k_drop = jax.random.split(rng)
+        k_aug, k_drop, k_mask = jax.random.split(rng, 3)
         if train and specaug_cfg is not None:
             feats = specaug(k_aug, feats, flens, **specaug_cfg)
+        labels = batch["labels"]
+        llens = batch["label_lengths"]
+        if eos_id >= 0:
+            labels, llens = _append_eos(labels, llens, eos_id)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"] if (train and batch_stats) else False
-        out = model.apply(variables, feats, flens, batch["labels"],
-                          batch["label_lengths"],
+        rngs = {"dropout": k_drop, "pred_mask": k_mask} if train else {}
+        out = model.apply(variables, feats, flens, labels, llens,
                           deterministic=not train, mutable=mutable,
-                          rngs={"dropout": k_drop} if train else {})
+                          rngs=rngs)
         if mutable:
             (logits, olens), new_vars = out
             new_stats = new_vars.get("batch_stats", batch_stats)
         else:
             logits, olens = out
             new_stats = batch_stats
-        lp = logits.astype(jnp.float32)
-        if not joiner_normalized:
-            lp = jax.nn.log_softmax(lp, axis=-1)
-        if topo in ("rna", "ctct"):
-            from cat_tpu.ops.rnnt_rna import rnnt_loss_rna
-
-            per_seq = rnnt_loss_rna(lp, batch["labels"], olens,
-                                    batch["label_lengths"],
-                                    reduction="none")
+        if is_simple:
+            f, g = logits
+            per_seq = rnnt_loss_simple(
+                f.astype(jnp.float32), g.astype(jnp.float32), labels,
+                olens, llens, reduction="none")
         else:
-            per_seq = rnnt_loss(lp, batch["labels"], olens,
-                                batch["label_lengths"],
-                                reduction="none")
+            lp = logits.astype(jnp.float32)
+            if not joiner_normalized:
+                lp = jax.nn.log_softmax(lp, axis=-1)
+            if topo in ("rna", "ctct"):
+                from cat_tpu.ops.rnnt_rna import rnnt_loss_rna
+
+                per_seq = rnnt_loss_rna(lp, labels, olens, llens,
+                                        reduction="none")
+            else:
+                per_seq = rnnt_loss(lp, labels, olens, llens,
+                                    reduction="none")
         w = batch["weight"]
         loss = jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
         return loss, (new_stats, per_seq)
@@ -143,10 +194,15 @@ def make_loss_fn(model, specaug_cfg: Optional[dict] = None,
 
 
 def make_train_step(model, tx, specaug_cfg=None, grad_clip=5.0,
-                    joiner_normalized=False, topo="rnnt"):
-    from cat_tpu.ctc.train import set_lr
+                    joiner_normalized=False, topo="rnnt", eos_id=-1,
+                    grad_accum_fold=1):
+    from cat_tpu.ctc.train import _make_accum_train_step, set_lr
 
-    loss_fn = make_loss_fn(model, specaug_cfg, joiner_normalized, topo)
+    loss_fn = make_loss_fn(model, specaug_cfg, joiner_normalized, topo,
+                           eos_id)
+    if grad_accum_fold > 1:
+        return _make_accum_train_step(loss_fn, tx, grad_clip,
+                                      grad_accum_fold)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
@@ -167,8 +223,9 @@ def make_train_step(model, tx, specaug_cfg=None, grad_clip=5.0,
     return train_step
 
 
-def make_eval_step(model, joiner_normalized=False):
-    loss_fn = make_loss_fn(model, None, joiner_normalized)
+def make_eval_step(model, joiner_normalized=False, topo="rnnt",
+                   eos_id=-1):
+    loss_fn = make_loss_fn(model, None, joiner_normalized, topo, eos_id)
 
     @jax.jit
     def eval_step(state: TrainState, batch):

@@ -211,8 +211,18 @@ class BucketedLoader:
 
     def __init__(self, dataset, frame_budget=40000, num_buckets=8,
                  multiple_of=1, shuffle=True, seed=0, max_label_len=None,
-                 drop_infeasible=True):
+                 drop_infeasible=True, host_index=0, host_count=1):
+        """host_index/host_count: multi-host SPMD input sharding (the
+        reference's split_by_node, cat/shared/manager.py:100-202). Every
+        host computes the SAME deterministic global batch schedule
+        (shared seed) and materializes only its contiguous row slice;
+        parallel.shard_batch assembles the global device array from the
+        per-process slices. Global batch sizes are rounded to a multiple
+        of lcm(multiple_of, host_count) so slices are even."""
         self.ds = dataset
+        self.host_index = int(host_index)
+        self.host_count = max(int(host_count), 1)
+        multiple_of = int(np.lcm(multiple_of, self.host_count))
         self.multiple_of = multiple_of
         self.shuffle = shuffle
         self.seed = seed
@@ -282,22 +292,30 @@ class BucketedLoader:
         T = self.buckets[b]
         U = self.label_caps[b]
         F = self.ds.feat_dim
-        feats = np.zeros((B, T, F), np.float32)
-        labels = np.zeros((B, U), np.int32)
-        flen = np.zeros((B,), np.int32)
-        llen = np.zeros((B,), np.int32)
-        weight = np.zeros((B,), np.float32)
         real = len(idxs)
-        for j in range(B):
+        # multi-host: materialize only this host's contiguous row slice
+        # of the (deterministic) global batch; weights stay global-aware
+        # (row j of the global batch is padding iff j >= real)
+        B_loc = B // self.host_count
+        j0 = self.host_index * B_loc
+        feats = np.zeros((B_loc, T, F), np.float32)
+        labels = np.zeros((B_loc, U), np.int32)
+        flen = np.zeros((B_loc,), np.int32)
+        llen = np.zeros((B_loc,), np.int32)
+        weight = np.zeros((B_loc,), np.float32)
+        local_uids = []
+        for k in range(B_loc):
+            j = j0 + k
             i = idxs[j % real]  # pad short batches by repetition
             f, l = self.ds[i]
             t = min(f.shape[0], T)
             u = min(len(l), U)
-            feats[j, :t] = f[:t]
-            labels[j, :u] = l[:u]
-            flen[j] = t
-            llen[j] = u
-            weight[j] = 1.0 if j < real else 0.0
-        return Batch(feats, flen, labels, llen, weight,
-                     uids=[self.ds.uids[i] if hasattr(self.ds, "uids")
-                           else str(i) for i in idxs])
+            feats[k, :t] = f[:t]
+            labels[k, :u] = l[:u]
+            flen[k] = t
+            llen[k] = u
+            weight[k] = 1.0 if j < real else 0.0
+            if j < real:
+                local_uids.append(self.ds.uids[i]
+                                  if hasattr(self.ds, "uids") else str(i))
+        return Batch(feats, flen, labels, llen, weight, uids=local_uids)

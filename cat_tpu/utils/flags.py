@@ -1,0 +1,60 @@
+"""Performance-feature flags: config keys with env override.
+
+Round-1 exposed the fused kernels only through environment variables
+(CAT_TPU_FUSED_DROPOUT, CAT_TPU_FLASH_ATTN, CAT_TPU_{CTC,RNNT}_IMPL) —
+invisible to the two-JSON config system the rest of the toolkit is built
+on. Here they are proper config keys (config.json "perf": {...}, applied
+by the pipeline via set_flags) with the env vars kept as overrides for
+ad-hoc experiments, and validated kernels default ON on TPU ("auto").
+
+Resolution order: env var CAT_TPU_<NAME> > set_flags() value > default.
+"""
+from __future__ import annotations
+
+import os
+
+_FLAGS: dict = {}
+
+# validated defaults: "auto" resolves per-backend at use time
+_DEFAULTS = {
+    "fused_dropout": "auto",   # auto: Pallas kernel on TPU, flax off-TPU
+    "flash_attn": "auto",      # auto: fused rel-pos attention on TPU
+    "ctc_impl": "",            # "" = XLA scan (fastest measured); pallas
+    "rnnt_impl": "",           # opt-in alternatives kept for A/B
+}
+
+
+def set_flags(**kw):
+    """Install config-provided flag values (pipeline "perf" section)."""
+    for k, v in kw.items():
+        _FLAGS[k] = str(v)
+
+
+def reset_flags():
+    _FLAGS.clear()
+
+
+def flag(name: str) -> str:
+    env = os.environ.get("CAT_TPU_" + name.upper())
+    if env is not None:
+        return env
+    if name in _FLAGS:
+        return _FLAGS[name]
+    return _DEFAULTS.get(name, "")
+
+
+def on_tpu() -> bool:
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def resolve(name: str) -> str:
+    """Flag value with "auto" resolved for the current backend."""
+    v = flag(name)
+    if v == "auto":
+        return "1" if on_tpu() else ""
+    return v

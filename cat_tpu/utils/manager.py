@@ -5,8 +5,11 @@ with eval-gated checkpointing, LR scheduling, early stop, grad
 accumulation and metric logging — redesigned for SPMD jit:
 
 - ONE compiled train step per bucket shape; lr enters as data.
-- Gradient accumulation wraps the optax transform (optax.MultiSteps
-  equivalent semantics of manager.py:660-665 no_sync folding).
+- Gradient accumulation (manager.py:660-676 no_sync fold semantics) is
+  implemented in utils.grad_accum.WeightedMultiSteps, wired in by the
+  task make_train_step(grad_accum_fold=N); the Manager's part is
+  counting LR-scheduler steps per optimizer UPDATE, not per micro-batch
+  (pass the same fold here).
 - The eval loss all_reduce (manager.py:710-711) is just a jnp.mean under
   jit over the sharded batch.
 - Resume = load state pytree + scheduler/step bookkeeping
@@ -77,7 +80,9 @@ class Manager:
                  logger: Optional[MetricLogger] = None, rng=None,
                  put_batch: Callable = None, max_epochs: int = 10000,
                  check_freq: int = -1, verbose: bool = True,
-                 profile_steps: Optional[tuple] = None):
+                 profile_steps: Optional[tuple] = None,
+                 grad_accum_fold: int = 1,
+                 eval_metric: Optional[Callable] = None):
         self.train_step = train_step
         self.eval_step = eval_step
         self.state = state
@@ -90,6 +95,15 @@ class Manager:
         self.put_batch = put_batch or (lambda b: b)
         self.max_epochs = max_epochs
         self.check_freq = check_freq  # steps between evals; -1 = per epoch
+        # grad accumulation: the LR schedule advances once per optimizer
+        # UPDATE (fold micro-batches), matching the reference where the
+        # scheduler steps per fold-closing batch (manager.py:660-676)
+        self.grad_accum_fold = max(int(grad_accum_fold), 1)
+        # optional custom dev metric (e.g. WER via beam decode) used as
+        # the scheduler metric instead of dev loss — the reference's
+        # custom_evaluate (cat/ctc/train.py:213-281). Signature:
+        # eval_metric(state) -> float (lower is better).
+        self.eval_metric = eval_metric
         self.epoch = 0
         self.global_step = 0
         # (start_step, stop_step): capture a jax.profiler device trace
@@ -172,7 +186,8 @@ class Manager:
                         jax.profiler.stop_trace()
                         self._profiling = False
                 self._steps_into_epoch += 1
-                self.scheduler.update_lr_step(self.global_step)
+                self.scheduler.update_lr_step(
+                    -(-self.global_step // self.grad_accum_fold))
                 self.rng, sub = jax.random.split(self.rng)
                 t1 = time.time()
                 self.state, metrics = self.train_step(
@@ -194,12 +209,16 @@ class Manager:
 
     def _checkpoint_round(self, last_train_metrics):
         dev_loss = self.evaluate()
-        st = self.scheduler.step(dev_loss)
+        metric = dev_loss
         kv = dict(step=self.global_step, epoch=self.epoch,
-                  dev_loss=dev_loss, lr=self.scheduler.lr,
-                  sched=st.name)
+                  dev_loss=dev_loss)
+        if self.eval_metric is not None:
+            metric = float(self.eval_metric(self.state))
+            kv["dev_metric"] = metric
+        st = self.scheduler.step(metric)
+        kv.update(lr=self.scheduler.lr, sched=st.name)
         if last_train_metrics is not None:
             kv["train_loss"] = float(last_train_metrics.get("loss", 0.0))
         self.logger.log(**kv)
-        self.save(dev_loss)
+        self.save(metric)
         return st == State.TERMINATED
