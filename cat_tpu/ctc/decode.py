@@ -64,7 +64,7 @@ def prefix_beam_search(log_probs, length, beam_width=16, blank=0,
 
     def lm_score(prefix, tok):
         if lm is None:
-            return 0.0
+            return beta  # insertion bonus applies with or without LM
         ctx = tuple(lm_sym(t) if lm_sym else t for t in prefix)
         w = lm_sym(tok) if lm_sym else tok
         return alpha * lm.logp(ctx, w) * LN10 + beta

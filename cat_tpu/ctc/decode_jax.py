@@ -46,14 +46,18 @@ def _seg_merge(values, flags):
 
 
 @partial(jax.jit, static_argnames=("beam_width", "topk", "max_len",
-                                   "blank"))
+                                   "blank", "beta"))
 def ctc_beam_search_device(log_probs, lengths, beam_width=8, topk=8,
-                           max_len=128, blank=0):
+                           max_len=128, blank=0, beta=0.0):
     """Batched prefix beam search.
 
     Args:
       log_probs: (N, T, V) log-softmax outputs.
       lengths: (N,) frame counts.
+      beta: per-token insertion bonus added on every prefix extension
+        (ctcdecode's word bonus; negative = insertion penalty). Useful
+        for CRF-trained models whose un-fused prefix posteriors favor
+        oscillating insertions.
     Returns:
       prefixes: (N, W, max_len) int32 (0-padded)
       plens: (N, W)
@@ -93,7 +97,7 @@ def ctc_beam_search_device(log_probs, lengths, beam_width=8, topk=8,
         sc = jnp.broadcast_to(top_v[:, None, :], (N, W, K))
         is_rep = v == last[:, :, None]
         base = jnp.where(is_rep, pb[:, :, None], ptot[:, :, None])
-        ext_pnb = base + sc
+        ext_pnb = base + sc + beta
         ext_pnb = jnp.where(v == blank, LOG_EPS, ext_pnb)
         ext_pnb = jnp.where(plen[:, :, None] >= max_len, LOG_EPS,
                             ext_pnb)

@@ -229,6 +229,218 @@ def _bwd_kernel(seed_ref, qu_ref, qv_ref, k_ref, v_ref, p1_ref, p2_ref,
         dp_ref[0] = dps_ref[...]
 
 
+def _fwd_kernel_single(seed_ref, q_ref, k_ref, v_ref, p_ref, kb_ref,
+                       ub_ref, vb_ref, o_ref, lse_ref, *, scale, rate,
+                       H, b):
+    """Whole-sequence tile: one (n, h) per grid step (T ≤ b).
+
+    Removes the tiled kernel's overheads at ASR shapes: no online-
+    softmax corrections, no Dh padding to 128, no duplicated q+u / q+v
+    input streams (biases are added in-kernel), ~8× fewer grid tiles.
+    """
+    n, h = pl.program_id(0), pl.program_id(1)
+    q = q_ref[0, 0]                 # (b, Dh)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    pw = p_ref[0]                   # (2b, Dh)
+    ub = ub_ref[0].astype(q.dtype)  # (1, Dh)
+    vb = vb_ref[0].astype(q.dtype)
+
+    s = jax.lax.dot_general(q + ub, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qp = jax.lax.dot_general(q + vb, pw, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s = (s + _band(qp, b)) * scale + kb_ref[0, 0][None, :]
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0],
+                        _tile_seed(seed_ref, n, h, 0, 0, H, 1, 1))
+        keep = _dropout_keep(e.shape, _thr(rate))
+        e = jnp.where(keep, e * (1.0 / (1.0 - rate)), 0.0)
+    acc = jax.lax.dot_general(e.astype(v.dtype), v,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[...] = jnp.reshape(m + jnp.log(jnp.maximum(l, 1e-30)),
+                               (1, 1, 1, b))
+
+
+def _bwd_kernel_single(seed_ref, q_ref, k_ref, v_ref, p_ref, kb_ref,
+                       ub_ref, vb_ref, lse_ref, do_ref, dd_ref,
+                       dq_ref, dk_ref, dv_ref, dp_ref, dub_ref, dvb_ref,
+                       dps_ref, dubs_ref, dvbs_ref,
+                       *, scale, rate, H, b):
+    h, n = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _init_p():
+        dps_ref[...] = jnp.zeros_like(dps_ref)
+        dubs_ref[...] = jnp.zeros_like(dubs_ref)
+        dvbs_ref[...] = jnp.zeros_like(dvbs_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    pw = p_ref[0]
+    ub = ub_ref[0].astype(q.dtype)
+    vb = vb_ref[0].astype(q.dtype)
+    qu = q + ub
+    qv = q + vb
+
+    s = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    qp = jax.lax.dot_general(qv, pw, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s = (s + _band(qp, b)) * scale + kb_ref[0, 0][None, :]
+    p_ = jnp.exp(s - lse_ref[0, 0, 0][:, None])          # (b, b)
+
+    dpmat = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0],
+                        _tile_seed(seed_ref, n, h, 0, 0, H, 1, 1))
+        keep = _dropout_keep(p_.shape, _thr(rate))
+        inv = 1.0 / (1.0 - rate)
+        p_drop = jnp.where(keep, p_ * inv, 0.0)
+        dpmat = jnp.where(keep, dpmat * inv, 0.0)
+    else:
+        p_drop = p_
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    ds = p_ * (dpmat - dd_ref[0, 0, 0][:, None]) * scale
+    dsl = ds.astype(k.dtype)
+    dqu = jax.lax.dot_general(dsl, k, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        dsl, qu, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dqp = _band_t(ds, b).astype(pw.dtype)                # (b, 2b)
+    dqv = jax.lax.dot_general(dqp, pw, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = (dqu + dqv).astype(dq_ref.dtype)
+    dps_ref[...] += jax.lax.dot_general(
+        dqp, qv, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dubs_ref[...] += jnp.sum(dqu, axis=0, keepdims=True)
+    dvbs_ref[...] += jnp.sum(dqv, axis=0, keepdims=True)
+
+    @pl.when(n == pl.num_programs(1) - 1)
+    def _flush():
+        dp_ref[0] = dps_ref[...]
+        dub_ref[...] = dubs_ref[...].reshape(dub_ref.shape)
+        dvb_ref[...] = dvbs_ref[...].reshape(dvb_ref.shape)
+
+
+def _pallas_fwd_single(q, k, v, pp, kbias, ub, vb, seed, scale, rate,
+                       interpret):
+    N, H, Tp, Dh = q.shape
+    kernel = functools.partial(_fwd_kernel_single, scale=scale,
+                               rate=rate, H=H, b=Tp)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(N, H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
+            pl.BlockSpec((1, 2 * Tp, Dh), lambda n, h: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp), lambda n, h: (n, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda n, h: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda n, h: (h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Tp), lambda n, h: (n, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((N, H, 1, Tp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q, k, v, pp, kbias, ub, vb)
+    return o, lse
+
+
+def _pallas_bwd_single(q, k, v, pp, kbias, ub, vb, seed, lse, do, dd,
+                       scale, rate, interpret):
+    N, H, Tp, Dh = q.shape
+    kernel = functools.partial(_bwd_kernel_single, scale=scale,
+                               rate=rate, H=H, b=Tp)
+    f32 = jnp.float32
+    dq, dk, dv, dp, dub, dvb = pl.pallas_call(
+        kernel,
+        grid=(H, N),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 2 * Tp, Dh), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp), lambda h, n: (n, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Tp), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Tp), lambda h, n: (n, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 2 * Tp, Dh), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((H, 2 * Tp, Dh), f32),
+            jax.ShapeDtypeStruct((H, 1, Dh), f32),
+            jax.ShapeDtypeStruct((H, 1, Dh), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((2 * Tp, Dh), f32),
+                        pltpu.VMEM((1, Dh), f32),
+                        pltpu.VMEM((1, Dh), f32)],
+        interpret=interpret,
+    )(seed, q, k, v, pp, kbias, ub, vb, lse, do, dd)
+    return dq, dk, dv, dp, dub, dvb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _flash_core_single(q, k, v, pp, kbias, ub, vb, seed, scale, rate,
+                       interpret):
+    o, _ = _pallas_fwd_single(q, k, v, pp, kbias, ub, vb, seed, scale,
+                              rate, interpret)
+    return o
+
+
+def _flash_core_single_fwd(q, k, v, pp, kbias, ub, vb, seed, scale,
+                           rate, interpret):
+    o, lse = _pallas_fwd_single(q, k, v, pp, kbias, ub, vb, seed, scale,
+                                rate, interpret)
+    return o, (q, k, v, pp, kbias, ub, vb, seed, o, lse)
+
+
+def _flash_core_single_bwd(scale, rate, interpret, res, g):
+    q, k, v, pp, kbias, ub, vb, seed, o, lse = res
+    dd = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1)[:, :, None, :]
+    dq, dk, dv, dp, dub, dvb = _pallas_bwd_single(
+        q, k, v, pp, kbias, ub, vb, seed, lse, g.astype(q.dtype), dd,
+        scale, rate, interpret)
+    return (dq, dk, dv, dp.astype(pp.dtype), None,
+            dub.astype(ub.dtype), dvb.astype(vb.dtype), None)
+
+
+_flash_core_single.defvjp(_flash_core_single_fwd, _flash_core_single_bwd)
+
+
 def _pallas_fwd(qu, qv, k, v, pp, kbias, seed, scale, rate, b, interpret):
     N, H, Tp, Dh = qu.shape
     nq = nk = Tp // b
@@ -363,6 +575,29 @@ def flash_relpos_attention(q, k, v, p, u_bias, v_bias, kmask, *,
     N, T, H, Dh = q.shape
     if scale is None:
         scale = 1.0 / float(np.sqrt(Dh))
+    if seed is None:
+        seed = jnp.zeros((2,), jnp.int32)
+    kb_of = lambda Tp: jnp.where(
+        jnp.pad(kmask, ((0, 0), (0, Tp - T))), 0.0,
+        NEG).astype(jnp.float32)[:, None, :]
+
+    if T <= max(block, 512):
+        # whole-sequence tile (the common ASR shape): one (n, h) grid
+        # step, Dh kept at its native width, biases added in-kernel
+        Tp = _round_up(T, 128)
+
+        def prep(x):  # (N, T, H, Dh) → (N, H, Tp, Dh)
+            x = jnp.transpose(x, (0, 2, 1, 3))
+            return jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+
+        pt = jnp.transpose(p, (1, 0, 2))  # (H, 2T-1, Dh)
+        pp = jnp.pad(pt, ((0, 0), (Tp - T, Tp - T + 1), (0, 0)))
+        o = _flash_core_single(
+            prep(q), prep(k), prep(v), pp, kb_of(Tp),
+            u_bias[:, None, :], v_bias[:, None, :], seed,
+            float(scale), float(dropout_rate), interpret)
+        return jnp.transpose(o[:, :, :T, :], (0, 2, 1, 3))
+
     b = min(block, _round_up(T, 128))
     Tp = _round_up(T, b)
     Dp = _round_up(Dh, 128)
@@ -380,10 +615,7 @@ def flash_relpos_attention(q, k, v, p, u_bias, v_bias, kmask, *,
     # the zero region). Shape (H, 2Tp, Dp).
     pt = jnp.transpose(p, (1, 0, 2))  # (H, 2T-1, Dh)
     pp = jnp.pad(pt, ((0, 0), (Tp - T, Tp - T + 1), (0, Dp - Dh)))
-    kb = jnp.where(jnp.pad(kmask, ((0, 0), (0, Tp - T))), 0.0, NEG)
-    kb = kb.astype(jnp.float32)[:, None, :]
-    if seed is None:
-        seed = jnp.zeros((2,), jnp.int32)
+    kb = kb_of(Tp)
     o = _flash_core(qu, qv, kp, vp, pp, kb, seed,
                     float(scale), float(dropout_rate), b, interpret)
     o = o[:, :, :T, :Dh]

@@ -585,7 +585,8 @@ def stage_decode(expdir, hyper, config, tok):
                 from cat_tpu.ctc.decode_jax import ctc_beam_search_device
                 prefixes, plens, scores = ctc_beam_search_device(
                     lp, olens, beam_width=beam,
-                    max_len=int(labels.shape[1]) + 16)
+                    max_len=int(labels.shape[1]) + 16,
+                    beta=float(dec_cfg.get("beta", 0.0)))
                 prefixes = np.asarray(prefixes)
                 plens = np.asarray(plens)
                 scores = np.asarray(scores)

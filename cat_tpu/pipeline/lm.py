@@ -60,9 +60,27 @@ def stage_train(expdir, hyper, config, tok):
     opts = hyper["train"].get("option", {})
     tr = CorpusDataset(os.path.join(expdir, "pkl", "train"))
     dv = CorpusDataset(os.path.join(expdir, "pkl", "dev"))
-    model = lm_train.build_model(config, num_classes=tok.vocab_size)
-    sched, tx = build_scheduler(config["scheduler"])
-    state = lm_train.init_state(model, tx)
+    is_trf = hyper["train"].get("bin", "").endswith("train_trf")
+    if is_trf:
+        # TRF/EBM energy LM with NCE/DNCE (cat.lm.trf.train role)
+        from cat_tpu.lm import train_trf
+
+        model = train_trf.build_model(config,
+                                      num_classes=tok.vocab_size)
+        sched, tx = build_scheduler(config["scheduler"])
+        state = train_trf.init_state(model, tx)
+        pi = train_trf.length_prior(
+            tr, max_len=config["decoder"].get("kwargs", {})
+            .get("max_len", 200))
+        trf_opts = train_trf.loss_options(config)
+        train_step = train_trf.make_train_step(model, tx, pi, trf_opts)
+        eval_step = train_trf.make_eval_step(model, pi, trf_opts)
+    else:
+        model = lm_train.build_model(config, num_classes=tok.vocab_size)
+        sched, tx = build_scheduler(config["scheduler"])
+        state = lm_train.init_state(model, tx)
+        train_step = lm_train.make_train_step(model, tx)
+        eval_step = lm_train.make_eval_step(model)
 
     loader_kw = dict(token_budget=opts.get("token_budget", 8000),
                      num_buckets=opts.get("num_buckets", 4),
@@ -90,8 +108,8 @@ def stage_train(expdir, hyper, config, tok):
             return self._d
 
     mgr = Manager(
-        train_step=lm_train.make_train_step(model, tx),
-        eval_step=lm_train.make_eval_step(model),
+        train_step=train_step,
+        eval_step=eval_step,
         state=state, scheduler=sched,
         ckpt=CheckpointManager(os.path.join(expdir, "check")),
         train_loader=_Wrap(train_loader),
@@ -108,10 +126,43 @@ def stage_eval(expdir, hyper, config, tok):
     from cat_tpu.lm import train as lm_train
     from cat_tpu.utils.checkpoint import CheckpointManager, load_checkpoint
 
-    model = lm_train.build_model(config, num_classes=tok.vocab_size)
     ckpt = CheckpointManager(os.path.join(expdir, "check"))
     st = load_checkpoint(ckpt.path(ckpt.best()))["state"]
     params = st.params if hasattr(st, "params") else st["params"]
+    if hyper["train"].get("bin", "").endswith("train_trf"):
+        # TRF is unnormalized — no ppl; report mean dev TRF score
+        # (usable only relatively, e.g. for rescoring)
+        import jax.numpy as jnp
+        import numpy as np
+
+        from cat_tpu.lm import train_trf
+        from cat_tpu.lm.trf import trf_score
+        from cat_tpu.utils.data import CorpusDataset
+
+        model = train_trf.build_model(config, num_classes=tok.vocab_size)
+        dv = CorpusDataset(os.path.join(expdir, "pkl", "dev"))
+        pi = train_trf.length_prior(
+            dv, max_len=config["decoder"].get("kwargs", {})
+            .get("max_len", 200))
+        U = int(max(dv.token_length(i) for i in range(len(dv)))) + 2
+        scores = []
+        for i in range(len(dv)):
+            ids = list(dv[i])[: U - 1]
+            tokens = np.zeros((1, U), np.int32)
+            targets = np.zeros((1, U), np.int32)
+            tokens[0, 1: len(ids) + 1] = ids
+            targets[0, : len(ids)] = ids
+            s = trf_score(model, params, pi, jnp.asarray(tokens),
+                          jnp.asarray(targets),
+                          jnp.asarray([len(ids) + 1], np.int32))
+            scores.append(float(s[0]))
+        mean_score = float(np.mean(scores))
+        with open(os.path.join(expdir, "ppl.json"), "w") as f:
+            json.dump({"trf_score_mean": mean_score}, f)
+        print(f"dev mean TRF score: {mean_score:.3f} "
+              "(unnormalized; for rescoring)")
+        return mean_score
+    model = lm_train.build_model(config, num_classes=tok.vocab_size)
     with open(hyper["data"]["dev"]) as f:
         seqs = [tok.encode(line.strip()) for line in f if line.strip()]
     ppl = lm_train.perplexity(model, params, seqs)

@@ -98,3 +98,78 @@ def test_rnnt_jit_and_masks():
     for n in range(4):
         np.testing.assert_allclose(g[n, il[n]:], 0.0)
         np.testing.assert_allclose(g[n, :, ul[n] + 1:], 0.0)
+
+
+def numpy_rnnt_grad(log_probs, labels, T, U, blank=0):
+    """Exact transducer gradient for one sequence via the alpha/beta
+    occupancy formula: d(-log p)/d log_probs[t,u,v] =
+    -exp(alpha[t,u] + beta', normalized) for the two outgoing arcs
+    (blank -> (t+1,u), label -> (t,u+1)). Full-array golden — the
+    numpy-DP grad check VERDICT round 1 asked for (item 4b)."""
+    NEG = -1e30
+
+    def lae(a, b):
+        m = max(a, b)
+        if m <= NEG / 2:
+            return NEG
+        return m + np.log(np.exp(a - m) + np.exp(b - m))
+
+    alpha = np.full((T, U + 1), NEG)
+    alpha[0, 0] = 0.0
+    for t in range(T):
+        for u in range(U + 1):
+            if t == 0 and u == 0:
+                continue
+            s = NEG
+            if t > 0:
+                s = lae(s, alpha[t - 1, u] + log_probs[t - 1, u, blank])
+            if u > 0:
+                s = lae(s, alpha[t, u - 1]
+                        + log_probs[t, u - 1, labels[u - 1]])
+            alpha[t, u] = s
+    beta = np.full((T, U + 1), NEG)
+    beta[T - 1, U] = log_probs[T - 1, U, blank]
+    for t in range(T - 1, -1, -1):
+        for u in range(U, -1, -1):
+            if t == T - 1 and u == U:
+                continue
+            s = NEG
+            if t < T - 1:
+                s = lae(s, beta[t + 1, u] + log_probs[t, u, blank])
+            if u < U:
+                s = lae(s, beta[t, u + 1]
+                        + log_probs[t, u, labels[u]])
+            beta[t, u] = s
+    logp = beta[0, 0]
+    grad = np.zeros_like(log_probs)
+    for t in range(T):
+        for u in range(U + 1):
+            if alpha[t, u] <= NEG / 2:
+                continue
+            # blank arc (t,u) -> (t+1,u); final arc at (T-1, U)
+            if t == T - 1 and u == U:
+                occ = alpha[t, u] + log_probs[t, u, blank] - logp
+                grad[t, u, blank] -= np.exp(occ)
+            elif t < T - 1:
+                occ = (alpha[t, u] + log_probs[t, u, blank]
+                       + beta[t + 1, u] - logp)
+                grad[t, u, blank] -= np.exp(occ)
+            # label arc (t,u) -> (t,u+1)
+            if u < U:
+                occ = (alpha[t, u] + log_probs[t, u, labels[u]]
+                       + beta[t, u + 1] - logp)
+                grad[t, u, labels[u]] -= np.exp(occ)
+    return grad
+
+
+def test_rnnt_grad_matches_numpy_dp():
+    rng = np.random.default_rng(7)
+    lp, labels, il, ul = make_batch(rng, N=3, T=9, V=6, U=4)
+    args = (jnp.asarray(labels), jnp.asarray(il), jnp.asarray(ul))
+    f = lambda x: rnnt_loss(x, *args, reduction="sum")
+    g = np.asarray(jax.jit(jax.grad(f))(jnp.asarray(lp)))
+    for n in range(lp.shape[0]):
+        ref = numpy_rnnt_grad(lp[n], labels[n], int(il[n]), int(ul[n]))
+        np.testing.assert_allclose(g[n, : il[n], : ul[n] + 1],
+                                   ref[: il[n], : ul[n] + 1],
+                                   rtol=1e-3, atol=1e-4)
