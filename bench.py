@@ -4,12 +4,26 @@ Run on the available accelerator (one TPU chip under the driver).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: the reference (thu-spmi/CAT) publishes no throughput numbers
-(SURVEY.md §6); BASELINE.json's north-star is ≥3× the CUDA stack's
-per-chip audio-seconds/s. We anchor vs_baseline to a fixed reference
-estimate REF_AUDIO_S_PER_S for the reference CUDA stack (conformer
-17×512 CTC-CRF, AMP, per high-end GPU) so the ratio is comparable
-across rounds; the absolute value is what the driver records.
+Baseline anchoring — IMPORTANT CAVEAT (stated prominently per the
+round-1 verdict): the reference (thu-spmi/CAT) publishes no throughput
+numbers (SURVEY.md §6) and no NVIDIA GPU exists in this environment, so
+REF_AUDIO_S_PER_S = 600 below is an ESTIMATE, not a measurement, and
+vs_baseline inherits that uncertainty. How the estimate is grounded
+(FLOPs analysis, details in STATUS.md §baseline-anchor):
+
+  - analytic training-step cost of this exact config (conformer 17×512,
+    batch 96 × 1600 frames, fwd + bwd + partial remat recompute)
+    ≈ 41 TFLOP/step ⇒ ≈ 27 GFLOP per audio-second;
+  - 600 audio-s/s/chip therefore corresponds to an A100 (312 TFLOP/s
+    bf16) running the torch stack at ≈ 5% MFU — the low end of what
+    public torch conformer-ASR trainers achieve (ESPnet/WeNet-class
+    stacks with unfused rel-pos attention, AMP, host dataloaders are
+    typically 5-10% MFU; CAT adds per-frame den kernel launches and
+    CPU label round-trips);
+  - sensitivity: at 10% MFU the reference would be ≈ 1200 audio-s/s
+    and vs_baseline halves. The ratio is indicative; the absolute
+    audio-s/s/chip (and this chip's own MFU, ≈ value·27e9/197e12) are
+    the load-bearing numbers.
 """
 import json
 import os

@@ -92,7 +92,11 @@ def _spatial_cov(stft_c, mask, lengths):
 
 
 def mvdr_weights(phi_s, phi_n, ref_channel=0, diag_eps=1e-5):
-    """MVDR: w = (Φn⁻¹ Φs / tr(Φn⁻¹ Φs)) · u_ref  → (N, F, C)."""
+    """MVDR: w = (Φn⁻¹ Φs / tr(Φn⁻¹ Φs)) · u_ref  → (N, F, C).
+
+    With Φn = the OBSERVED-signal covariance this is the MPDR beamformer
+    (dnn_beamformer.py:277-281,330-332 — same get_mvdr_vector, psd_n
+    swapped for the observation PSD)."""
     C = phi_n.shape[-1]
     eye = jnp.eye(C, dtype=phi_n.dtype)
     trace_n = jnp.einsum("nfcc->nf", phi_n).real[..., None, None]
@@ -102,6 +106,26 @@ def mvdr_weights(phi_s, phi_n, ref_channel=0, diag_eps=1e-5):
     tr = jnp.where(jnp.abs(tr) < 1e-8, 1e-8 + 0j, tr)
     w = num[..., ref_channel] / tr[..., None]         # (N, F, C)
     return w
+
+
+def gev_weights(phi_s, phi_n, iterations=6, diag_eps=1e-5):
+    """GEV / max-SNR beamformer (dnn_beamformer.py get_gev_vector):
+    w = principal generalized eigenvector of (Φs, Φn), computed with
+    jit-friendly power iteration on Φn⁻¹Φs (C is tiny), then
+    BAN-free phase normalization against channel 0 → (N, F, C)."""
+    C = phi_n.shape[-1]
+    eye = jnp.eye(C, dtype=phi_n.dtype)
+    trace_n = jnp.einsum("nfcc->nf", phi_n).real[..., None, None]
+    phi_n_r = phi_n + diag_eps * jnp.maximum(trace_n, 1e-6) * eye
+    m = jnp.linalg.solve(phi_n_r, phi_s)              # (N, F, C, C)
+    v = jnp.ones(m.shape[:-1], m.dtype)               # (N, F, C)
+    for _ in range(iterations):
+        v = jnp.einsum("nfcd,nfd->nfc", m, v)
+        v = v / jnp.maximum(
+            jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-10)
+    # fix the arbitrary per-bin phase to the reference channel
+    phase = v[..., :1] / jnp.maximum(jnp.abs(v[..., :1]), 1e-10)
+    return v * jnp.conj(phase)
 
 
 class BeamformerNet(nn.Module):
@@ -117,18 +141,43 @@ class BeamformerNet(nn.Module):
     fft_size: int = 512
     mask_hidden: int = 256
     ref_channel: int = 0
-    beamformer_type: str = "mvdr"       # "mvdr" | "wpd" (conv_beamformer)
+    # "mvdr" | "mpdr" | "gev" | "wpd" (dnn_beamformer.py:218 minus
+    # "filter", which is the separate NeuralFilter module below)
+    beamformer_type: str = "mvdr"
     use_wpe: bool = False               # WPE dereverb before beamforming
     use_dnn_mask_for_wpe: bool = True   # beamformer_net.py:97-103
     wpe_taps: int = 5
     wpe_delay: int = 3
     wpe_iterations: int = 1
 
-    @nn.compact
     def __call__(self, wave, wave_lengths, deterministic=True):
-        stft = Stft(self.frame_length, self.frame_shift, self.fft_size)
-        spec = stft(wave)                              # (N, C, T, F)
-        frame_lengths = stft.num_frames(wave_lengths).astype(jnp.int32)
+        spec, frame_lengths = self.spectrum(wave, wave_lengths)
+        return self.enhance(spec, frame_lengths, deterministic)
+
+    def spectrum(self, wave, wave_lengths):
+        """(N, C, L) wave → ((N, C, T, F) complex STFT, frame lengths).
+
+        Inline (module-free) STFT: this method is called from other
+        modules (ctc/train_me2e_chunk.py), where constructing a
+        submodule outside setup/compact is not allowed."""
+        L = wave.shape[-1]
+        T = 1 + (L - self.frame_length) // self.frame_shift
+        idx = (jnp.arange(T)[:, None] * self.frame_shift
+               + jnp.arange(self.frame_length)[None, :])
+        frames = wave[..., idx]
+        win = jnp.asarray(povey_window(self.frame_length))
+        spec = jnp.fft.rfft(frames * win, n=self.fft_size, axis=-1)
+        flens = 1 + (wave_lengths - self.frame_length) \
+            // self.frame_shift
+        return spec, flens.astype(jnp.int32)
+
+    @nn.compact
+    def enhance(self, spec, frame_lengths, deterministic=True):
+        """STFT-domain enhancement: (N, C, T, F) → log-mel (N, T, B).
+
+        Separated from __call__ so the chunked ME2E trainer
+        (ctc/train_me2e_chunk.py) can beamform context windows
+        directly in the STFT domain (train_me2e_chunk.py:64-160)."""
         if self.use_wpe:
             from cat_tpu.front.wpe import DnnWpe, wpe
 
@@ -149,8 +198,16 @@ class BeamformerNet(nn.Module):
                               ref_channel=self.ref_channel)  # (N, T, F)
         else:
             phi_s = _spatial_cov(spec, m_s, frame_lengths)
-            phi_n = _spatial_cov(spec, m_n, frame_lengths)
-            w = mvdr_weights(phi_s, phi_n, self.ref_channel)  # (N, F, C)
+            if self.beamformer_type == "mpdr":
+                # distortionless against the OBSERVED covariance
+                phi_n = _spatial_cov(
+                    spec, jnp.ones_like(m_s), frame_lengths)
+            else:
+                phi_n = _spatial_cov(spec, m_n, frame_lengths)
+            if self.beamformer_type == "gev":
+                w = gev_weights(phi_s, phi_n)          # (N, F, C)
+            else:
+                w = mvdr_weights(phi_s, phi_n, self.ref_channel)
             x = jnp.transpose(spec, (0, 3, 2, 1))      # (N, F, T, C)
             bf = jnp.einsum("nftc,nfc->nft", x, jnp.conj(w))
             bf = jnp.transpose(bf, (0, 2, 1))          # (N, T, F)

@@ -268,7 +268,13 @@ class ConformerNet(nn.Module):
                 policy = (jax.checkpoint_policies
                           .dots_with_no_batch_dims_saveable)
             elif self.remat_policy == "dots_noexpand":
-                policy = dots_noexpand_saveable
+                # also save the fused flash-attention output (named in
+                # RelPositionMultiHeadAttention) — the Pallas forward is
+                # expensive to re-run in the backward
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    dots_noexpand_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "flash_attn", "flash_attn_lse"))
             # static_argnums counts the module itself at 0 in flax's
             # lifted core_fn, so `deterministic` is position 3
             cell_cls = nn.remat(ConformerCell, static_argnums=(3,),

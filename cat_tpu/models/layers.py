@@ -241,6 +241,12 @@ class RelPositionMultiHeadAttention(nn.Module):
                 q, k, v, p, u_bias, v_bias, mask,
                 scale=1.0 / float(np.sqrt(Dh)), dropout_rate=rate,
                 seed=seed, interpret=(flash == "interpret"))
+            # under remat, save the kernel output instead of re-running
+            # the fused forward in the backward pass (the encoders'
+            # dots_noexpand policy also saves this name): ~11 ms/cell
+            # of recompute avoided at the flagship shape
+            from jax.ad_checkpoint import checkpoint_name
+            out = checkpoint_name(out, "flash_attn")
             out = jnp.where(mask[:, :, None, None], out,
                             jnp.zeros((), out.dtype))
             out = nn.DenseGeneral(D, axis=(-2, -1), dtype=self.dtype,

@@ -248,6 +248,9 @@ def _fwd_kernel_single(seed_ref, q_ref, k_ref, v_ref, p_ref, kb_ref,
 
     s = jax.lax.dot_general(q + ub, k, (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32)
+    # NOTE: the (b, 2b) shear must stay f32 — this Mosaic version's
+    # lane-roll crashes the remote compiler on bf16 operands (tried:
+    # ~33% of kernel time is the shear; revisit when Mosaic allows it)
     qp = jax.lax.dot_general(q + vb, pw, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     s = (s + _band(qp, b)) * scale + kb_ref[0, 0][None, :]
@@ -424,6 +427,12 @@ def _flash_core_single_fwd(q, k, v, pp, kbias, ub, vb, seed, scale,
                            rate, interpret):
     o, lse = _pallas_fwd_single(q, k, v, pp, kbias, ub, vb, seed, scale,
                                 rate, interpret)
+    # name the kernel outputs so a remat policy can elect to store them
+    # (saving the backward from re-running the fused forward just to
+    # rebuild these residuals) — encoders.dots_noexpand + names policy
+    from jax.ad_checkpoint import checkpoint_name
+    o = checkpoint_name(o, "flash_attn")
+    lse = checkpoint_name(lse, "flash_attn_lse")
     return o, (q, k, v, pp, kbias, ub, vb, seed, o, lse)
 
 

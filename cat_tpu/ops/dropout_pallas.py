@@ -41,6 +41,17 @@ def _kernel(seed_ref, x_ref, o_ref, *, threshold, inv_keep):
                            jnp.zeros_like(x))
 
 
+def _kernel3(seed_ref, x_ref, o_ref, *, threshold, inv_keep):
+    """3D-grid variant: block stream id folds both grid axes."""
+    bid = pl.program_id(0) * pl.num_programs(1) + pl.program_id(1)
+    pltpu.prng_seed(seed_ref[0], seed_ref[1] + bid)
+    bits = pltpu.prng_random_bits(x_ref.shape)
+    keep = (bits ^ jnp.int32(-2147483648)) >= jnp.int32(threshold)
+    x = x_ref[...]
+    o_ref[...] = jnp.where(keep, x * jnp.asarray(inv_keep, x.dtype),
+                           jnp.zeros_like(x))
+
+
 def _run(x, seed, rate, interpret):
     if interpret:
         # pltpu.prng_* has no CPU lowering; off-TPU use threefry with
@@ -53,22 +64,45 @@ def _run(x, seed, rate, interpret):
                                                x.dtype),
                          jnp.zeros_like(x))
     orig_shape = x.shape
-    # keep the tensor's own trailing dim as the lane axis and only
-    # collapse leading dims — that reshape is layout-free, whereas
-    # flattening to (rows, 128) forces a relayout copy whenever the
-    # trailing dim is not a lane multiple (e.g. the (N, H, T, T)
-    # attention probs with T = 400)
+    thr_u = min(int(rate * 4294967296.0), 4294967295)
+    thr_i32 = thr_u - 2147483648
+    kern = functools.partial(_kernel, threshold=thr_i32,
+                             inv_keep=1.0 / (1.0 - rate))
+    if len(orig_shape) >= 3:
+        # keep the last TWO dims intact (only they carry the tiled
+        # layout) and collapse the leading ones — truly layout-free.
+        # Collapsing into the second-minor dim instead (e.g.
+        # (96, 399, 2048) → (38304, 2048)) repacks every odd-sized
+        # sublane block: ~23 ms per call at the flagship shape.
+        B = 1
+        for d in orig_shape[:-2]:
+            B *= d
+        M, K = orig_shape[-2], orig_shape[-1]
+        x3 = x.reshape(B, M, K)
+        rows = max((BLOCK_ELEMS // max(K, 1)) // 8 * 8, 8)
+        rows = min(rows, M)
+        nblocks = -(-M // rows)
+        out = pl.pallas_call(
+            functools.partial(_kernel3, threshold=thr_i32,
+                              inv_keep=1.0 / (1.0 - rate)),
+            grid=(B, nblocks),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, rows, K), lambda b, i: (b, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, rows, K), lambda b, i: (b, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((B, M, K), x.dtype),
+            interpret=interpret,
+        )(seed, x3)
+        return out.reshape(orig_shape)
     K = orig_shape[-1] if len(orig_shape) > 1 else x.size
     M = max(x.size // max(K, 1), 1)
     x2 = x.reshape(M, K)
     rows = max((BLOCK_ELEMS // max(K, 1)) // 8 * 8, 8)
-    rows = min(rows, M) if M % 8 == 0 or M < 8 else min(rows, M)
+    rows = min(rows, M)
     nblocks = -(-M // rows)
-    thr_u = min(int(rate * 4294967296.0), 4294967295)
-    thr_i32 = thr_u - 2147483648
     out = pl.pallas_call(
-        functools.partial(_kernel, threshold=thr_i32,
-                          inv_keep=1.0 / (1.0 - rate)),
+        kern,
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -143,3 +143,91 @@ def test_dense_crf_loss_trains():
         x = x - 0.5 * g
     assert float(l) < float(l0)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_dense_den_grad_matches_graph_bruteforce_order3():
+    """Exact occupancy gradient vs f64 forward-backward over the
+    explicit {post-blank, in-phone} x (a, b) state graph, with an
+    ORDER-3 LM (round-1's finite-diff test only covered order 2, and
+    f32 forward differences at eps=1e-3 proved too noisy to
+    distinguish a real gradient bug from evaluation noise)."""
+    import math
+
+    from cat_tpu.fst.ngram import train_ngram
+
+    V = 3
+    corpus = [[1], [2], [1, 2], [2, 2], [1, 1], [2, 1], [2, 2, 2],
+              [1, 2, 1]]
+    lm = train_ngram([list(s) for s in corpus], order=3)
+    den = DenseDen.from_ngram(lm, num_classes=V)
+    logw = np.asarray(den.logw, np.float64)
+    final = np.asarray(den.final, np.float64)
+
+    rng = np.random.default_rng(0)
+    T = 6
+    lp = np.asarray(jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((2, T, V)).astype(np.float32)),
+        -1), np.float64)
+    lens = [6, 4]
+
+    def brute(lp_n, T_n):
+        NEG = -np.inf
+        all_states = [(ph, a, b) for ph in ("bl", "in")
+                      for a in range(V) for b in range(V)]
+        idx = {s: i for i, s in enumerate(all_states)}
+        S = len(all_states)
+        trans = []
+        for a in range(V):
+            for b in range(V):
+                i_bl, i_in = idx[("bl", a, b)], idx[("in", a, b)]
+                trans.append((i_bl, i_bl, 0, 0.0))
+                trans.append((i_in, i_bl, 0, 0.0))
+                if b != 0:
+                    trans.append((i_in, i_in, b, 0.0))
+                for u in range(1, V):
+                    w = logw[a, b, u]
+                    if w < -1e20:
+                        continue
+                    j = idx[("in", b, u)]
+                    trans.append((i_bl, j, u, w))
+                    if u != b:
+                        trans.append((i_in, j, u, w))
+        alpha = np.full((T_n + 1, S), NEG)
+        alpha[0, idx[("bl", 0, 0)]] = 0.0
+        for t in range(T_n):
+            for (i, j, v, w) in trans:
+                if alpha[t, i] == NEG:
+                    continue
+                alpha[t + 1, j] = np.logaddexp(
+                    alpha[t + 1, j], alpha[t, i] + w + lp_n[t, v])
+        fin = np.array([final[a, b] if final[a, b] > -1e20 else NEG
+                        for (_, a, b) in all_states])
+        logz = np.logaddexp.reduce(alpha[T_n] + fin)
+        beta = np.full((T_n + 1, S), NEG)
+        beta[T_n] = fin
+        for t in range(T_n - 1, -1, -1):
+            for (i, j, v, w) in trans:
+                if beta[t + 1, j] == NEG:
+                    continue
+                beta[t, i] = np.logaddexp(
+                    beta[t, i], w + lp_n[t, v] + beta[t + 1, j])
+        g = np.zeros((T_n, V))
+        for t in range(T_n):
+            for (i, j, v, w) in trans:
+                if alpha[t, i] == NEG or beta[t + 1, j] == NEG:
+                    continue
+                g[t, v] += math.exp(alpha[t, i] + w + lp_n[t, v]
+                                    + beta[t + 1, j] - logz)
+        return logz, g
+
+    f = jax.jit(lambda x: jnp.sum(dense_den_log_partition(
+        x, jnp.asarray(lens, np.int32), den)))
+    g_vjp = np.asarray(jax.grad(f)(jnp.asarray(lp, np.float32)))
+    for n in range(2):
+        lz, g = brute(lp[n], lens[n])
+        np.testing.assert_allclose(g_vjp[n][: lens[n]], g, rtol=5e-3,
+                                   atol=5e-4)
+        # occupancies are a per-frame distribution
+        np.testing.assert_allclose(g_vjp[n][: lens[n]].sum(-1), 1.0,
+                                   atol=1e-3)
+        np.testing.assert_allclose(g_vjp[n][lens[n]:], 0.0)
