@@ -337,3 +337,159 @@ def trf_score(model: TRFNCE, params, pi, tokens, targets, lengths):
     ph = model.apply({"params": params}, tokens, targets, lengths,
                      method=model.phi)
     return ph + log_pi[jnp.clip(lengths, 0, log_pi.shape[0] - 1)]
+
+
+# ---------------------------------------------------------------------
+# EBM trained by importance sampling / MCMC (model.py:797-1365 EBM_IS:
+# methods IS / MIS / Gibbs). The maximum-likelihood gradient of an EBM,
+# ∇ −log p(x) = ∇E(data) − E_model[∇E], needs samples from the model;
+# these estimators differ in how they get them. TPU design: all three
+# are single jitted programs; the MIS/Gibbs chains are FUNCTIONAL state
+# (passed in and out of the step) instead of the reference's mutable
+# module attributes, so they checkpoint and shard like everything else.
+# ---------------------------------------------------------------------
+
+
+def make_ebm_is_loss(model: TRFNCE, pi, method: str = "is",
+                     noise_rate: float = 1.0, max_len: int = 64,
+                     update_q: bool = True, greedy_sampling=False):
+    """Returns loss_fn(params, batch, rng, chain) ->
+    ((loss, (metrics, new_chain))).
+
+    method "is":   self-normalized importance sampling from the noise
+                   LM (model.py:1226-1237): weights softmax(log p−log q).
+    method "mis":  Metropolis independence sampler with a persistent
+                   parallel chain (MIS_step_parallel, model.py:842-905):
+                   accept x' w.p. min(1, w(x')/w(x)), w = p/q.
+    update_q: also train the proposal by ML on data (the reference's
+    update path when the noise model is not frozen)."""
+    log_pi = jnp.log(jnp.asarray(pi) + EPS)
+
+    def energy_of(params, tokens, targets, lengths):
+        return model.apply({"params": params}, tokens, targets,
+                           lengths, method=model.energy)
+
+    def q_logp(params, tokens, targets, lengths):
+        nll = model.apply({"params": params}, tokens, targets, lengths,
+                          method=model.noise_nll)
+        return -nll
+
+    def loss_fn(params, batch, rng, chain=None):
+        tokens, targets = batch["tokens"], batch["targets"]
+        lengths = batch["lengths"]
+        B = tokens.shape[0]
+        n_noise = max(int(B * noise_rate), 1)
+        e_data = energy_of(params, tokens, targets, lengths)
+        loss_data = jnp.mean(e_data)
+
+        sampler = make_noise_sampler(model, n_noise, max_len, pi,
+                                     greedy_sampling)
+        ntok, ntar, nlen, log_q_new = jax.lax.stop_gradient(
+            sampler(params, rng))
+        e_noise = energy_of(params, ntok, ntar, nlen)
+        log_p_new = jax.lax.stop_gradient(
+            -e_noise - jnp.take(log_pi * 0.0, 0))  # -E (unnormalized)
+
+        metrics = {}
+        if method == "is":
+            log_w = log_p_new - log_q_new
+            w = jax.lax.stop_gradient(jax.nn.softmax(log_w))
+            loss_sampling = jnp.sum(w * e_noise)
+            new_chain = chain
+            ess = 1.0 / jnp.sum(w * w) / n_noise
+            metrics["is_ess"] = ess
+        elif method == "mis":
+            if chain is None:
+                chain = (ntok, ntar, nlen,
+                         jax.lax.stop_gradient(log_p_new), log_q_new)
+            ctok, ctar, clen, c_logp, c_logq = chain
+            # refresh the chain's p under CURRENT params (the target
+            # distribution moves every step)
+            c_logp = jax.lax.stop_gradient(
+                -energy_of(params, ctok, ctar, clen))
+            log_acc = (log_p_new - log_q_new) - (c_logp - c_logq)
+            u = jax.random.uniform(jax.random.fold_in(rng, 7),
+                                   (n_noise,))
+            acc = (jnp.log(jnp.maximum(u, 1e-30))
+                   < jnp.minimum(log_acc, 0.0))
+            sel = lambda new, old: jnp.where(
+                acc.reshape((-1,) + (1,) * (new.ndim - 1)), new, old)
+            ntok2 = sel(ntok, ctok)
+            ntar2 = sel(ntar, ctar)
+            nlen2 = jnp.where(acc, nlen, clen)
+            e_chain = energy_of(params, ntok2, ntar2, nlen2)
+            loss_sampling = jnp.mean(e_chain)
+            new_chain = (ntok2, ntar2, nlen2,
+                         jax.lax.stop_gradient(-e_chain),
+                         jnp.where(acc, log_q_new, c_logq))
+            metrics["accept_rate"] = jnp.mean(acc.astype(jnp.float32))
+        else:
+            raise ValueError(method)
+
+        loss = loss_data - loss_sampling
+        if update_q:
+            # proposal ML on data (KL(p_d || q) minimization)
+            q_ml = -jnp.mean(q_logp(params, tokens, targets, lengths)
+                             / jnp.maximum(lengths, 1))
+            loss = loss + q_ml
+            metrics["loss_q_ml"] = q_ml
+        metrics.update(loss_data=loss_data, loss_sampling=loss_sampling,
+                       energy_data=jnp.mean(e_data),
+                       energy_noise=jnp.mean(e_noise))
+        return loss, (metrics, new_chain)
+
+    return loss_fn
+
+
+def mh_within_gibbs_sweep(model: TRFNCE, params, rng, tokens, targets,
+                          lengths, num_positions: int = 1):
+    """One MH-within-Gibbs sweep (model.py:996-1060): pick
+    `num_positions` random valid positions per sequence; at each,
+    propose a new token from the noise LM's full-sequence conditional
+    and accept by the energy ratio. Returns updated (tokens, targets,
+    accept_rate). All shapes static; jit-able."""
+
+    def energy_of(tok, tar):
+        return model.apply({"params": params}, tok, tar, lengths,
+                           method=model.energy)
+
+    B, U = tokens.shape
+
+    def one_position(carry, key):
+        tokens, targets, n_acc = carry
+        k_pos, k_tok, k_u = jax.random.split(key, 3)
+        # position in [1, len-1] (keep BOS fixed)
+        pos = 1 + (jax.random.uniform(k_pos, (B,))
+                   * jnp.maximum(lengths - 1, 1)).astype(jnp.int32)
+        pos = jnp.clip(pos, 1, U - 1)
+        # proposal: noise LM logits at the predicting position
+        logits, _ = model.apply(
+            {"params": params}, tokens, lengths,
+            method=lambda m, t, l: m.noise_model(t, l,
+                                                 deterministic=True))
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        V = lp.shape[-1]
+        idx = jnp.broadcast_to((pos - 1)[:, None, None], (B, 1, V))
+        row = jnp.take_along_axis(lp, idx, axis=1)[:, 0]   # (B, V)
+        prop = jax.random.categorical(k_tok, row)      # (B,)
+        old = jnp.take_along_axis(tokens, pos[:, None], 1)[:, 0]
+        new_tokens = jnp.asarray(tokens).at[
+            jnp.arange(B), pos].set(prop)
+        new_targets = jnp.asarray(targets).at[
+            jnp.arange(B), pos - 1].set(prop)
+        e_old = energy_of(tokens, targets)
+        e_new = energy_of(new_tokens, new_targets)
+        q_old = jnp.take_along_axis(row, old[:, None], 1)[:, 0]
+        q_new = jnp.take_along_axis(row, prop[:, None], 1)[:, 0]
+        log_acc = (-e_new + q_old) - (-e_old + q_new)
+        u = jax.random.uniform(k_u, (B,))
+        acc = jnp.log(jnp.maximum(u, 1e-30)) < jnp.minimum(log_acc, 0.0)
+        tokens = jnp.where(acc[:, None], new_tokens, tokens)
+        targets = jnp.where(acc[:, None], new_targets, targets)
+        return (tokens, targets,
+                n_acc + jnp.mean(acc.astype(jnp.float32))), None
+
+    keys = jax.random.split(rng, num_positions)
+    (tokens, targets, n_acc), _ = jax.lax.scan(
+        one_position, (tokens, targets, jnp.float32(0.0)), keys)
+    return tokens, targets, n_acc / num_positions

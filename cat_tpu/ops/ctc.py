@@ -83,12 +83,15 @@ def _emissions(log_probs, ext, svalid, input_lengths, blank):
 
 
 def _use_pallas():
-    """Opt-in fused Pallas kernels for the lattice scans
-    (CAT_TPU_CTC_IMPL=pallas; TPU only — interpret mode elsewhere is
-    for testing, not speed)."""
-    import os
+    """Opt-in fused Pallas kernels for the lattice scans (config key
+    perf.ctc_impl = "pallas", env override CAT_TPU_CTC_IMPL; TPU only —
+    interpret mode elsewhere is for testing, not speed)."""
+    from cat_tpu.utils.flags import flag, on_tpu
 
-    return os.environ.get("CAT_TPU_CTC_IMPL", "") == "pallas"
+    v = flag("ctc_impl")
+    if v == "auto":
+        return on_tpu()
+    return v == "pallas"
 
 
 def _forward_alphas(em, allow2):

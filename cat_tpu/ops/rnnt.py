@@ -77,12 +77,15 @@ def _row_tables(log_probs, labels, input_lengths, label_lengths, blank):
 
 
 def _use_pallas():
-    """Opt-in fused Pallas kernels for the lattice scans
-    (CAT_TPU_RNNT_IMPL=pallas; TPU only — interpret mode elsewhere is
-    for testing, not speed)."""
-    import os
+    """Opt-in fused Pallas kernels for the lattice scans (config key
+    perf.rnnt_impl = "pallas", env override CAT_TPU_RNNT_IMPL; TPU only
+    — interpret mode elsewhere is for testing, not speed)."""
+    from cat_tpu.utils.flags import flag, on_tpu
 
-    return os.environ.get("CAT_TPU_RNNT_IMPL", "") == "pallas"
+    v = flag("rnnt_impl")
+    if v == "auto":
+        return on_tpu()
+    return v == "pallas"
 
 
 def _forward_alphas(blank_eff, label_eff):

@@ -91,16 +91,38 @@ def extract_features(datadir, feat_cfg=None):
         yield uid, np.asarray(feats[0]), text.get(uid, "")
 
 
+def _train_sets(hyper):
+    """hyper["data"]["train"] may be one dir, a list of dirs, or a list
+    of {"path": dir, "weight": w} — multiple weighted train sets
+    (manager_wo's WeightedConcatDataset multi-trset training)."""
+    tr = hyper["data"]["train"]
+    if isinstance(tr, (str, os.PathLike)):
+        return [(str(tr), 1.0)]
+    out = []
+    for item in tr:
+        if isinstance(item, dict):
+            out.append((str(item["path"]),
+                        float(item.get("weight", 1.0))))
+        else:
+            out.append((str(item), 1.0))
+    return out
+
+
 def stage_pack(expdir, hyper, tok):
     from cat_tpu.utils.data import pack_speech_data
 
     pkl_dir = os.path.join(expdir, "pkl")
     feat_cfg = hyper.get("feature", {})
-    for split in ("train", "dev"):
+    sets = [("dev", hyper["data"]["dev"])]
+    trs = _train_sets(hyper)
+    if len(trs) == 1:
+        sets.append(("train", trs[0][0]))
+    else:
+        sets.extend((f"train_{i}", p) for i, (p, _) in enumerate(trs))
+    for split, datadir in sets:
         out = os.path.join(pkl_dir, split)
         if os.path.exists(os.path.join(out, "meta.npz")):
             continue
-        datadir = hyper["data"][split]
         if os.path.exists(os.path.join(datadir, "meta.npz")):
             # pre-packed
             os.makedirs(pkl_dir, exist_ok=True)
@@ -122,7 +144,16 @@ def stage_train(expdir, hyper, config, tok):
     task = importlib.import_module(hyper["train"]["bin"])
     opts = hyper["train"].get("option", {})
     pkl_dir = os.path.join(expdir, "pkl")
-    tr_ds = SpeechDataset(os.path.join(pkl_dir, "train"))
+    trs = _train_sets(hyper)
+    if len(trs) == 1:
+        tr_ds = SpeechDataset(os.path.join(pkl_dir, "train"))
+    else:
+        from cat_tpu.utils.data import WeightedConcatDataset
+
+        tr_ds = WeightedConcatDataset(
+            [SpeechDataset(os.path.join(pkl_dir, f"train_{i}"))
+             for i in range(len(trs))],
+            weights=[w for _, w in trs])
     dv_ds = SpeechDataset(os.path.join(pkl_dir, "dev"))
 
     model = task.build_model(config, num_classes=tok.vocab_size)
@@ -571,13 +602,28 @@ def stage_decode(expdir, hyper, config, tok):
                            for seq in greedy_decode(lp, olens)]
             elif mode == "wfst":
                 lp_np, ol_np = np.asarray(lp), np.asarray(olens)
+                # 1-best goes through the C++ token-passing core when
+                # it builds (latgen-faster role, ~10-30x the python
+                # decoder); n-best needs backpointer sets -> python
+                use_native = nbest_n == 1 and dec_cfg.get(
+                    "native", True)
+                if use_native:
+                    try:
+                        from cat_tpu.native import wfst_lib
+                        wfst_lib()
+                    except Exception:
+                        use_native = False
                 per_utt = []
                 for n in range(lp_np.shape[0]):
                     if w[n] <= 0:
                         per_utt.append([(0.0, [])])
                         continue
-                    hyp = wfst_dec.decode(lp_np[n], ol_np[n],
-                                          nbest=nbest_n)
+                    if use_native:
+                        hyp = [wfst_dec.decode_native(lp_np[n],
+                                                      ol_np[n])]
+                    else:
+                        hyp = wfst_dec.decode(lp_np[n], ol_np[n],
+                                              nbest=nbest_n)
                     per_utt.append([
                         (s, [id2word[i] for i in wids if i in id2word])
                         for s, wids in hyp])

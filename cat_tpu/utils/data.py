@@ -263,9 +263,22 @@ class BucketedLoader:
 
     def epoch(self, epoch_idx):
         rng = np.random.default_rng(self.seed + epoch_idx)
-        order = self.indices.copy()
-        if self.shuffle:
+        if self.shuffle and hasattr(self.ds, "sample_indices"):
+            # weighted multi-trset sampling (WeightedConcatDataset —
+            # manager_wo's multi-trainset semantics): one epoch draws
+            # len(indices) utterances according to the set weights,
+            # filtered to the feasible index set
+            feasible = set(int(i) for i in self.indices)
+            draws = self.ds.sample_indices(rng, 2 * len(self.indices))
+            order = np.asarray([i for i in draws if i in feasible],
+                               np.int64)[: len(self.indices)]
+            if len(order) == 0:
+                order = self.indices.copy()
+        elif self.shuffle:
+            order = self.indices.copy()
             rng.shuffle(order)
+        else:
+            order = self.indices.copy()
         pools = [[] for _ in self.buckets]
         for i in order:
             b = self.bucket_of(self.flens[i])

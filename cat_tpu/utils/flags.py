@@ -19,8 +19,10 @@ _FLAGS: dict = {}
 _DEFAULTS = {
     "fused_dropout": "auto",   # auto: Pallas kernel on TPU, flax off-TPU
     "flash_attn": "auto",      # auto: fused rel-pos attention on TPU
-    "ctc_impl": "",            # "" = XLA scan (fastest measured); pallas
-    "rnnt_impl": "",           # opt-in alternatives kept for A/B
+    # round-2 on-chip A/B (bench shapes): pallas CTC grad 5.8 ms vs
+    # scan 9.1 ms; pallas RNN-T grad 9.1 vs 9.6 — default on for TPU
+    "ctc_impl": "auto",        # auto: pallas on TPU, XLA scan elsewhere
+    "rnnt_impl": "auto",
 }
 
 

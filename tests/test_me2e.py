@@ -90,3 +90,31 @@ def test_weighted_concat_dataset(tmp_path):
     idxs = wc.sample_indices(np.random.default_rng(0), 400)
     frac_d1 = np.mean(idxs < 10)
     assert 0.6 < frac_d1 < 0.9  # ~0.75 expected
+
+
+def test_weighted_concat_through_bucketed_loader(tmp_path):
+    """Pipeline wiring: BucketedLoader honors WeightedConcatDataset's
+    sampling weights (multi-trset training reaches the train loop, not
+    just the ops layer)."""
+    from cat_tpu.utils.data import BucketedLoader
+
+    rng = np.random.default_rng(2)
+
+    def mk(name, n):
+        utts = [(f"{name}{i}",
+                 rng.standard_normal((24, 4)).astype(np.float32),
+                 [1, 2]) for i in range(n)]
+        pack_speech_data(str(tmp_path / name), utts)
+        return SpeechDataset(str(tmp_path / name))
+
+    d1, d2 = mk("a", 16), mk("b", 16)
+    wc = WeightedConcatDataset([d1, d2], weights=[1.0, 0.0])
+    loader = BucketedLoader(wc, frame_budget=200, num_buckets=1,
+                            shuffle=True, seed=0)
+    seen = []
+    for batch in loader.epoch(1):
+        w = np.asarray(batch.asdict()["weight"])
+        for j, uid in enumerate(batch.uids):
+            if w[j] > 0:
+                seen.append(uid)
+    assert seen and all(u.startswith("a") for u in seen), seen[:5]

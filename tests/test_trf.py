@@ -203,3 +203,70 @@ def test_trf_dnce_trains_noise_model():
     s_bad = trf_score(model, params, pi, bad["tokens"], bad["targets"],
                       bad["lengths"])
     assert float(s_good[0]) > float(s_bad[0])
+
+
+def test_ebm_is_loss_and_grads():
+    """IS estimator (model.py:1226-1237): self-normalized weights,
+    finite loss/grads, ESS in (0, 1]."""
+    from cat_tpu.lm.trf import make_ebm_is_loss
+
+    model = tiny_model()
+    params = init(model)
+    pi = hist_length(np.asarray([3, 4, 5]), MAXLEN)
+    loss_fn = make_ebm_is_loss(model, pi, method="is", max_len=MAXLEN)
+    b = batch_of([[1, 2, 3], [4, 5], [2, 2, 1], [3]])
+
+    def scalar(params):
+        loss, _ = loss_fn(params, b, jax.random.PRNGKey(0))
+        return loss
+
+    (loss, (metrics, _)), grads = jax.jit(jax.value_and_grad(
+        lambda p: loss_fn(p, b, jax.random.PRNGKey(0)),
+        has_aux=True))(params)
+    assert np.isfinite(float(loss))
+    assert 0.0 < float(metrics["is_ess"]) <= 1.0
+    gnorm = sum(float(jnp.sum(jnp.abs(g)))
+                for g in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_ebm_mis_chain():
+    """MIS persistent chain (MIS_step_parallel, model.py:842-905):
+    functional chain threads through steps; acceptance in [0, 1]."""
+    from cat_tpu.lm.trf import make_ebm_is_loss
+
+    model = tiny_model()
+    params = init(model)
+    pi = hist_length(np.asarray([3, 4, 5]), MAXLEN)
+    loss_fn = make_ebm_is_loss(model, pi, method="mis", max_len=MAXLEN)
+    b = batch_of([[1, 2, 3], [4, 5], [2, 2, 1], [3]])
+    chain = None
+    rates = []
+    for i in range(3):
+        (loss, (metrics, chain)) = jax.jit(loss_fn)(
+            params, b, jax.random.PRNGKey(i), chain)
+        assert np.isfinite(float(loss))
+        rates.append(float(metrics["accept_rate"]))
+    assert all(0.0 <= r <= 1.0 for r in rates)
+    assert chain is not None and chain[0].shape[1] == MAXLEN
+
+
+def test_mh_within_gibbs_sweep():
+    from cat_tpu.lm.trf import mh_within_gibbs_sweep
+
+    model = tiny_model()
+    params = init(model)
+    b = batch_of([[1, 2, 3, 4], [4, 5, 1], [2, 2, 1, 1]])
+    toks, tars, acc = jax.jit(
+        lambda r, t, g, l: mh_within_gibbs_sweep(
+            model, params, r, t, g, l, num_positions=3))(
+        jax.random.PRNGKey(0), b["tokens"], b["targets"], b["lengths"])
+    assert toks.shape == b["tokens"].shape
+    assert 0.0 <= float(acc) <= 1.0
+    # BOS column untouched; padding untouched
+    assert np.all(np.asarray(toks)[:, 0] == 0)
+    lens = np.asarray(b["lengths"])
+    t_np = np.asarray(toks)
+    for i in range(t_np.shape[0]):
+        np.testing.assert_array_equal(
+            t_np[i, lens[i]:], np.asarray(b["tokens"])[i, lens[i]:])
