@@ -112,3 +112,17 @@ def test_layer_integration_flash():
         os.environ.pop("CAT_TPU_FLASH_ATTN")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_forward_tiled_path_large_T():
+    """T > 512 falls back to the tiled online-softmax kernel — keep it
+    covered now that T <= 512 dispatches to the single-tile kernel."""
+    N, T, H, Dh = 1, 640, 2, 32
+    q, k, v, p, u, vb, kmask = _inputs(N, T, H, Dh, seed=9)
+    ref = relpos_attention_reference(q, k, v, p, u, vb, kmask)
+    out = flash_relpos_attention(q, k, v, p, u, vb, kmask,
+                                 block=128, interpret=True)
+    qvalid = np.asarray(kmask)[:, :, None, None]
+    np.testing.assert_allclose(np.where(qvalid, np.asarray(out), 0.0),
+                               np.where(qvalid, np.asarray(ref), 0.0),
+                               rtol=2e-4, atol=3e-5)

@@ -30,7 +30,9 @@ def yesno_data(tmp_path_factory):
 
     rng = np.random.default_rng(0)
     data_dir = tmp_path_factory.mktemp("yesno_data")
-    for split, n in (("train", 48), ("dev", 10)):
+    # 20 dev utterances (~37 words): a single word error stays under
+    # the 5% bar — at 10 utterances one deletion already reads 5.56%
+    for split, n in (("train", 64), ("dev", 20)):
         d = data_dir / split
         wav_d = d / "wav"
         wav_d.mkdir(parents=True)
