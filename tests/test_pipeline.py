@@ -79,6 +79,12 @@ SCHED = {"type": "SchedulerEarlyStop",
          "optimizer": {"type": "Adam", "kwargs": {"lr": 5e-3}}}
 
 
+PATIENT_SCHED = {"type": "SchedulerEarlyStop",
+                 "kwargs": {"min_step": 1000, "stop_lr": 1e-4,
+                            "n_tol": 5, "gamma": 0.5},
+                 "optimizer": {"type": "Adam", "kwargs": {"lr": 5e-3}}}
+
+
 def run_pipeline(tmp_path, hyper, config):
     expdir = tmp_path / "exp"
     expdir.mkdir()
@@ -152,13 +158,15 @@ def test_pipeline_yesno_crf_accum_werched(yesno_data, tmp_path):
 @pytest.mark.slow
 def test_pipeline_yesno_rnnt_simple(yesno_data, tmp_path):
     hyper = base_hyper(yesno_data, train_bin="cat_tpu.rnnt.train",
-                       opts={"max_epochs": 150})
+                       opts={"max_epochs": 200})
     config = {
         "encoder": ENC,
         "predictor": {"type": "LSTMPredictor",
                       "kwargs": {"hdim": 16, "num_layers": 1}},
         "joiner": {"type": "LogAdd", "kwargs": {}},
-        "scheduler": SCHED,
+        # transducer + chunked models converge slower than plain CTC
+        # on the toy: keep the LR high longer before early stop
+        "scheduler": PATIENT_SCHED,
     }
     expdir, res = run_pipeline(tmp_path, hyper, config)
     assert res["wer"] < 5.0, res
@@ -174,14 +182,14 @@ def test_pipeline_yesno_cuside_streaming(yesno_data, tmp_path):
     import jax.numpy as jnp
 
     hyper = base_hyper(yesno_data, train_bin="cat_tpu.ctc.train_unified",
-                       opts={"max_epochs": 120},
+                       opts={"max_epochs": 200},
                        decode={"mode": "streaming", "future": "simu",
                                "beam_width": 1})
     config = {"trainer": {"loss": "ctc"}, "encoder": ENC,
               "unified": {"chunk": 32, "left_context": 32,
                           "right_context": 8, "feat_dim": 40,
                           "simu_hidden": 32},
-              "scheduler": SCHED}
+              "scheduler": PATIENT_SCHED}
     expdir, res = run_pipeline(tmp_path, hyper, config)
     assert res["mode"] == "streaming"
     assert res["wer"] < 10.0, res  # streaming slightly worse than full
