@@ -18,9 +18,11 @@ import jax.numpy as jnp
 
 
 def make_me2e_decoder(model, params, batch_stats=None, mode="offline",
-                      beam_width=8, future="simu", beta=0.0):
+                      beam_width=8, future="simu", beta=0.0,
+                      channels_last=False):
     """Returns decode(wave (N, C, L), wave_lengths) ->
-    list[list[(score, [token ids])]] best-first per utterance."""
+    list[list[(score, [token ids])]] best-first per utterance.
+    channels_last: wave arrives (N, L, C) (packed layout)."""
     from cat_tpu.ctc.decode_jax import ctc_beam_search_device
 
     variables = {"params": params}
@@ -29,6 +31,8 @@ def make_me2e_decoder(model, params, batch_stats=None, mode="offline",
 
     @jax.jit
     def apply(wave, wlens):
+        if channels_last:
+            wave = jnp.swapaxes(wave, 1, 2)
         if mode == "streaming":
             from cat_tpu.ctc.train_me2e_chunk import bf_chunk_infer
 

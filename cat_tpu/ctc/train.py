@@ -84,6 +84,15 @@ def _weighted_mean(per_seq, weight):
     return jnp.sum(per_seq * weight) / jnp.maximum(jnp.sum(weight), 1.0)
 
 
+def _tree_where(pred, new, old):
+    """Elementwise select over two matching pytrees (non-array leaves —
+    e.g. optax count schedules' ints or hyperparam dicts — pass through
+    from `new`)."""
+    return jax.tree_util.tree_map(
+        lambda n, o: jnp.where(pred, n, o) if hasattr(n, "shape") else n,
+        new, old)
+
+
 def make_loss_fn(model, loss_type="ctc", den: Optional[DenDevice] = None,
                  lamb: float = 0.1, specaug_cfg: Optional[dict] = None):
     """Returns loss(params, batch_stats, batch, rng, train) →
@@ -148,19 +157,27 @@ def make_train_step(model, tx, loss_type="ctc", den=None, lamb=0.1,
         (loss, (new_stats, _)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    batch, rng, True)
+        gnorm = optax.global_norm(grads)
+        # NaN/Inf skip-update guard (manager_wo.py:613-641 role): a
+        # poisoned batch leaves params / opt_state / batch_stats
+        # untouched and increments `skipped` instead of corrupting state
+        finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         if grad_clip > 0:
-            gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            scale = jnp.where(finite, scale, 0.0)
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        else:
-            gnorm = optax.global_norm(grads)
-        opt_state = set_lr(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
+        opt_state0 = set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state0, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = state.replace(params=params, batch_stats=new_stats,
-                                  opt_state=opt_state,
-                                  step=state.step + 1)
-        return new_state, {"loss": loss, "grad_norm": gnorm}
+        new_state = state.replace(
+            params=_tree_where(finite, params, state.params),
+            batch_stats=_tree_where(finite, new_stats, state.batch_stats),
+            opt_state=_tree_where(finite, opt_state, opt_state0),
+            step=state.step + 1)
+        return new_state, {"loss": loss, "grad_norm": gnorm,
+                           "skipped": (~finite).astype(jnp.int32)}
 
     return train_step
 
@@ -194,6 +211,14 @@ def _make_accum_train_step(loss_fn, tx, grad_clip, fold):
         (loss_sum, (new_stats, w_sum)), grads = jax.value_and_grad(
             sum_objective, has_aux=True)(
                 state.params, state.batch_stats, batch, rng)
+        # NaN/Inf guard: a poisoned micro-batch contributes nothing to
+        # the fold accumulator (weight 0) and keeps old batch_stats
+        micro_gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(loss_sum) & jnp.isfinite(micro_gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        w_sum = jnp.where(finite, w_sum, 0.0)
+        new_stats = _tree_where(finite, new_stats, state.batch_stats)
         opt_state = set_lr(state.opt_state, lr)
         updates, opt_state, gnorm, applied = wrapped.update(
             grads, opt_state, state.params, w_sum)
@@ -201,9 +226,10 @@ def _make_accum_train_step(loss_fn, tx, grad_clip, fold):
         new_state = state.replace(params=params, batch_stats=new_stats,
                                   opt_state=opt_state,
                                   step=state.step + 1)
-        loss = loss_sum / jnp.maximum(w_sum, 1.0)
+        loss = jnp.where(finite, loss_sum, 0.0) / jnp.maximum(w_sum, 1.0)
         return new_state, {"loss": loss, "grad_norm": gnorm,
-                           "applied": applied}
+                           "applied": applied,
+                           "skipped": (~finite).astype(jnp.int32)}
 
     return train_step
 

@@ -136,12 +136,15 @@ class JsaTrainer:
             total = l_s2p + l_p2g + l_g2p
             return total, (l_s2p, l_p2g, l_g2p)
 
-        def step(params, opt_state, batch, rng):
+        def step(params, opt_state, batch, rng, lr):
+            from cat_tpu.ctc.train import set_lr
+
             (total, parts), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(params, batch, rng)
             gnorm = optax.global_norm(grads)
             scale = jnp.minimum(1.0, 5.0 / (gnorm + 1e-6))
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+            opt_state = set_lr(opt_state, lr)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return params, opt_state, {"loss": total,
@@ -212,7 +215,7 @@ class JsaTrainer:
 
     # ---------------- train step ----------------
 
-    def train_step(self, batch, rng, supervised_z=None):
+    def train_step(self, batch, rng, supervised_z=None, lr=None):
         """batch: Batch with grapheme labels; supervised_z: optional
         {uid: phoneme ids} for the supervised-substitution mode."""
         B = batch.feats.shape[0]
@@ -250,8 +253,11 @@ class JsaTrainer:
             y_up=jnp.asarray(y_up),
             y_up_lengths=jnp.asarray(batch.label_lengths * up),
             weight=jnp.asarray(batch.weight))
+        if lr is None:
+            lr = jnp.float32(1e-3)
         self.params, self.opt_state, metrics = self._grad_step(
-            self.params, self.opt_state, dev_batch, rng)
+            self.params, self.opt_state, dev_batch, rng,
+            jnp.float32(lr))
         metrics = {k: float(v) for k, v in metrics.items()}
         metrics["acceptance_rate"] = self.sampler.acceptance_rate
         return metrics
@@ -259,3 +265,75 @@ class JsaTrainer:
 
 def _wmean(per_seq, w):
     return jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def manager_steps(trainer: JsaTrainer, supervised_z=None):
+    """Manager-compatible adapter (the unified pipeline task contract,
+    manager_jsa.py:34 role): returns (state, train_step, eval_step).
+
+    - state: TrainState carrying the trainer's 3-model params +
+      opt_state, so Manager checkpointing/resume works unchanged.
+    - train_step(state, batch, lr, rng): batch is the loader's Batch
+      OBJECT (uids feed the MIS cache) — pipeline sets
+      Manager(batch_transform=lambda b: b).
+    - eval_step: dev loss = −log p(ẑ|x) − log p(y|ẑ) at the greedy
+      S2P phoneme sequence ẑ — a tractable cascade proxy of the joint
+      likelihood the sampler optimizes."""
+    from cat_tpu.ctc.decode import greedy_decode
+    from cat_tpu.utils.manager import TrainState
+
+    def train_step(state, batch, lr, rng):
+        trainer.params = state.params
+        trainer.opt_state = state.opt_state
+        metrics = trainer.train_step(batch, rng,
+                                     supervised_z=supervised_z, lr=lr)
+        new_state = state.replace(params=trainer.params,
+                                  opt_state=trainer.opt_state,
+                                  step=state.step + 1)
+        return new_state, metrics
+
+    @jax.jit
+    def _p2g_per_seq(params, z_up, z_up_lens, y, y_lens):
+        lg, ol = trainer.p2g.apply({"params": params}, z_up, z_up_lens,
+                                   deterministic=True)
+        return ctc_loss(jax.nn.log_softmax(lg.astype(jnp.float32), -1),
+                        y, ol, y_lens, reduction="none")
+
+    @jax.jit
+    def _s2p_per_seq(params, feats, flens, z, z_lens):
+        lg, ol = trainer.s2p.apply({"params": params}, feats, flens,
+                                   deterministic=True)
+        return ctc_loss(jax.nn.log_softmax(lg.astype(jnp.float32), -1),
+                        z, ol, z_lens, reduction="none")
+
+    def eval_step(state, batch):
+        lg, ol = trainer._s2p_logits(state.params["s2p"],
+                                     jnp.asarray(batch.feats),
+                                     jnp.asarray(batch.feat_lengths))
+        lp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+        zs = [list(z) if len(z) else [1]
+              for z in greedy_decode(lp, ol)]
+        B = len(zs)
+        zmax = max(max(len(z) for z in zs), 1)
+        z = np.zeros((B, zmax), np.int32)
+        zl = np.zeros((B,), np.int32)
+        for j, seq in enumerate(zs):
+            z[j, : len(seq)] = seq
+            zl[j] = len(seq)
+        up = trainer.upsample
+        per_s2p = _s2p_per_seq(state.params["s2p"],
+                               jnp.asarray(batch.feats),
+                               jnp.asarray(batch.feat_lengths),
+                               jnp.asarray(z), jnp.asarray(zl))
+        per_p2g = _p2g_per_seq(state.params["p2g"],
+                               jnp.asarray(np.repeat(z, up, axis=1)),
+                               jnp.asarray(zl * up),
+                               jnp.asarray(batch.labels),
+                               jnp.asarray(batch.label_lengths))
+        w = jnp.asarray(batch.weight)
+        per = per_s2p + per_p2g
+        return {"loss_sum": jnp.sum(per * w), "count": jnp.sum(w)}
+
+    state = TrainState(params=trainer.params, batch_stats={},
+                       opt_state=trainer.opt_state, step=jnp.asarray(0))
+    return state, train_step, eval_step

@@ -61,7 +61,11 @@ def init_state(model, tx, num_channels=4, rng=None,
                       step=jnp.asarray(0))
 
 
-def make_train_step(model, tx, grad_clip=5.0, specaug_cfg=None):
+def make_train_step(model, tx, grad_clip=5.0, specaug_cfg=None,
+                    channels_last=False):
+    """channels_last: batches carry wave as (N, L, C) (the packed-data
+    layout, time-major for bucketing) — transposed to the model's
+    (N, C, L) inside jit (free: XLA folds it into the STFT gather)."""
     from cat_tpu.ctc.train import set_lr
 
     def loss_fn(params, batch_stats, batch, rng, train):
@@ -69,7 +73,10 @@ def make_train_step(model, tx, grad_clip=5.0, specaug_cfg=None):
         if batch_stats:
             variables["batch_stats"] = batch_stats
         mutable = ["batch_stats"] if (train and batch_stats) else False
-        out = model.apply(variables, batch["feats"],
+        wave = batch["feats"]
+        if channels_last:
+            wave = jnp.swapaxes(wave, 1, 2)
+        out = model.apply(variables, wave,
                           batch["feat_lengths"],
                           deterministic=not train, mutable=mutable,
                           rngs={"dropout": rng} if train else {})
@@ -112,12 +119,15 @@ def make_train_step(model, tx, grad_clip=5.0, specaug_cfg=None):
     return train_step
 
 
-def make_eval_step(model):
+def make_eval_step(model, channels_last=False):
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        logits, olens = model.apply(variables, batch["feats"],
+        wave = batch["feats"]
+        if channels_last:
+            wave = jnp.swapaxes(wave, 1, 2)
+        logits, olens = model.apply(variables, wave,
                                     batch["feat_lengths"],
                                     deterministic=True)
         lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

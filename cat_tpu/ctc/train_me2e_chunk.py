@@ -155,10 +155,10 @@ def init_state(model, tx, num_channels=4, rng=None,
 
 
 def make_loss_fn(model: ChunkMe2eModel, lamb_chunk=0.5, lamb_simu=1.0,
-                 future="simu"):
+                 future="simu", channels_last=False):
     """(1−λ)·CTC(full) + λ·CTC(chunk) + λ_simu·L1 — the manager_wo
     joint objective (forward returns utt_loss + chunk_loss,
-    manager_wo.py:78-95)."""
+    manager_wo.py:78-95). channels_last: batch wave is (N, L, C)."""
 
     def loss_fn(params, batch_stats, batch, rng, train):
         variables = {"params": params}
@@ -167,6 +167,8 @@ def make_loss_fn(model: ChunkMe2eModel, lamb_chunk=0.5, lamb_simu=1.0,
         mutable = ["batch_stats"] if (train and batch_stats) else False
         rngs = {"dropout": rng} if train else {}
         wave, wlens = batch["feats"], batch["feat_lengths"]
+        if channels_last:
+            wave = jnp.swapaxes(wave, 1, 2)
 
         def run(method, **kw):
             out = model.apply(variables, wave, wlens,
@@ -200,10 +202,12 @@ def make_loss_fn(model: ChunkMe2eModel, lamb_chunk=0.5, lamb_simu=1.0,
 
 
 def make_train_step(model, tx, grad_clip=5.0, lamb_chunk=0.5,
-                    lamb_simu=1.0, future="simu", **_unused):
+                    lamb_simu=1.0, future="simu", channels_last=False,
+                    **_unused):
     from cat_tpu.ctc.train import set_lr
 
-    loss_fn = make_loss_fn(model, lamb_chunk, lamb_simu, future)
+    loss_fn = make_loss_fn(model, lamb_chunk, lamb_simu, future,
+                           channels_last)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
@@ -231,8 +235,9 @@ def make_train_step(model, tx, grad_clip=5.0, lamb_chunk=0.5,
     return train_step
 
 
-def make_eval_step(model, lamb_chunk=0.5, future="simu", **_unused):
-    loss_fn = make_loss_fn(model, lamb_chunk, 0.0, future)
+def make_eval_step(model, lamb_chunk=0.5, future="simu",
+                   channels_last=False, **_unused):
+    loss_fn = make_loss_fn(model, lamb_chunk, 0.0, future, channels_last)
 
     @jax.jit
     def eval_step(state: TrainState, batch):

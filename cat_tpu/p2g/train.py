@@ -116,38 +116,78 @@ def tkm_loss(model, params, cands, cand_lens, cand_scores, tgt_in,
     return -jax.scipy.special.logsumexp(logw + lps, axis=-1)
 
 
+def init_state(model, tx, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    src = jnp.zeros((2, 12), jnp.int32)
+    slens = jnp.asarray([12, 10], jnp.int32)
+    tgt = jnp.zeros((2, 8), jnp.int32)
+    tlens = jnp.asarray([8, 6], jnp.int32)
+    variables = jax.jit(partial(model.init, deterministic=True))(
+        rng, src, slens, tgt, tlens)
+    params = variables["params"]
+    return TrainState(params=params, batch_stats={},
+                      opt_state=tx.init(params), step=jnp.asarray(0))
+
+
+def batch_to_step(batch, bos=0, eos=0):
+    """Seq2SeqBatch → train/eval-step payload: shift targets and append
+    <eos> (bos/eos = 0, the tokenizers' reserved id). Host-side, cheap
+    int ops (the pipeline's Manager batch_transform for this task)."""
+    B, U = batch.tgt.shape
+    tgt_in = np.concatenate(
+        [np.full((B, 1), bos, np.int32), batch.tgt], axis=1)
+    tgt_out = np.concatenate(
+        [batch.tgt, np.zeros((B, 1), np.int32)], axis=1)
+    if eos != 0:
+        tgt_out[np.arange(B), batch.tgt_lens] = eos
+    d = dict(src=batch.src, src_lens=batch.src_lens, tgt_in=tgt_in,
+             tgt_out=tgt_out, tgt_lens=batch.tgt_lens + 1,
+             weight=batch.weight)
+    if batch.cands is not None:
+        d.update(cands=batch.cands, cand_lens=batch.cand_lens,
+                 cand_scores=batch.cand_scores)
+    return d
+
+
+def make_per_seq_fn(model, mode="ce", t_weight=1.0, label_smoothing=0.0):
+    """Returns per_seq(params, batch, rng, train) → (N,) NLL."""
+
+    def per_seq_fn(params, batch, rng, train):
+        if mode in ("tkm", "skm"):
+            return tkm_loss(model, params, batch["cands"],
+                            batch["cand_lens"], batch["cand_scores"],
+                            batch["tgt_in"], batch["tgt_out"],
+                            batch["tgt_lens"], rng, t_weight,
+                            train=train)
+        logits = model.apply(
+            params, batch["src"], batch["src_lens"], batch["tgt_in"],
+            batch["tgt_lens"], deterministic=not train,
+            rngs={"dropout": rng} if train else {})
+        if train and label_smoothing > 0:
+            V = logits.shape[-1]
+            lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            onehot = jax.nn.one_hot(batch["tgt_out"], V)
+            soft = (onehot * (1 - label_smoothing)
+                    + label_smoothing / V)
+            tok_nll = -jnp.sum(soft * lp, axis=-1)
+            U = batch["tgt_out"].shape[-1]
+            mask = (jnp.arange(U)[None, :]
+                    < batch["tgt_lens"][:, None])
+            return jnp.sum(jnp.where(mask, tok_nll, 0.0), -1)
+        return -seq_logp(logits, batch["tgt_out"], batch["tgt_lens"])
+
+    return per_seq_fn
+
+
 def make_train_step(model, tx, mode="ce", t_weight=1.0,
                     label_smoothing=0.0, grad_clip=5.0):
     """mode 'ce': batch {src, src_lens, tgt_in, tgt_out, tgt_lens,
     weight}; mode 'tkm': batch {cands, cand_lens, cand_scores, tgt_in,
     tgt_out, tgt_lens, weight}."""
+    per_seq_fn = make_per_seq_fn(model, mode, t_weight, label_smoothing)
 
     def loss_fn(params, batch, rng):
-        if mode == "tkm":
-            per_seq = tkm_loss(model, params, batch["cands"],
-                               batch["cand_lens"], batch["cand_scores"],
-                               batch["tgt_in"], batch["tgt_out"],
-                               batch["tgt_lens"], rng, t_weight,
-                               train=True)
-        else:
-            logits = model.apply(
-                params, batch["src"], batch["src_lens"], batch["tgt_in"],
-                batch["tgt_lens"], deterministic=False,
-                rngs={"dropout": rng})
-            if label_smoothing > 0:
-                V = logits.shape[-1]
-                lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-                onehot = jax.nn.one_hot(batch["tgt_out"], V)
-                soft = (onehot * (1 - label_smoothing)
-                        + label_smoothing / V)
-                tok_nll = -jnp.sum(soft * lp, axis=-1)
-                U = batch["tgt_out"].shape[-1]
-                mask = (jnp.arange(U)[None, :]
-                        < batch["tgt_lens"][:, None])
-                per_seq = jnp.sum(jnp.where(mask, tok_nll, 0.0), -1)
-            else:
-                per_seq = -seq_logp(logits, batch["tgt_out"],
-                                    batch["tgt_lens"])
+        per_seq = per_seq_fn({"params": params}, batch, rng, True)
         w = batch["weight"]
         return jnp.sum(per_seq * w) / jnp.maximum(jnp.sum(w), 1.0)
 
@@ -170,6 +210,19 @@ def make_train_step(model, tx, mode="ce", t_weight=1.0,
     return train_step
 
 
+def make_eval_step(model, mode="ce", t_weight=1.0):
+    per_seq_fn = make_per_seq_fn(model, mode, t_weight, 0.0)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch):
+        per_seq = per_seq_fn({"params": state.params}, batch,
+                             jax.random.PRNGKey(0), False)
+        w = batch["weight"]
+        return {"loss_sum": jnp.sum(per_seq * w), "count": jnp.sum(w)}
+
+    return eval_step
+
+
 def danp_expand(utterances, nbest, k=None):
     """DANP: one training example per (noisy phoneme hyp, transcript).
 
@@ -187,13 +240,16 @@ def danp_expand(utterances, nbest, k=None):
     return out
 
 
-def greedy_generate(model, params, src, src_lens, bos=0, eos=0,
-                    max_len=64):
-    """Batched greedy autoregressive generation under one jit scan.
+from functools import lru_cache
 
-    Returns (tokens (N, max_len), lengths). eos terminates a row."""
 
-    @partial(jax.jit, static_argnums=())
+@lru_cache(maxsize=None)
+def _gen_fn(model, bos, eos, max_len):
+    """One compiled generator per (model, bos, eos, max_len): flax
+    modules hash by structure, so repeated calls hit the jit cache
+    instead of retracing per batch."""
+
+    @jax.jit
     def run(params, src, src_lens):
         N = src.shape[0]
         memory = model.apply(params, src, src_lens,
@@ -220,7 +276,33 @@ def greedy_generate(model, params, src, src_lens, bos=0, eos=0,
                             max_len)
         return out, lengths.astype(jnp.int32)
 
-    return run(params, src, src_lens)
+    return run
+
+
+def greedy_generate(model, params, src, src_lens, bos=0, eos=0,
+                    max_len=64):
+    """Batched greedy autoregressive generation under one jit scan.
+
+    Returns (tokens (N, max_len), lengths). eos terminates a row."""
+    return _gen_fn(model, bos, eos, max_len)(params, src, src_lens)
+
+
+@lru_cache(maxsize=None)
+def _rescore_fn(model, bos, t_weight):
+    @jax.jit
+    def run(params, cands, cand_lens, cand_scores, hyps, hyp_lens):
+        N, J, U = hyps.shape
+        tgt_in = jnp.concatenate(
+            [jnp.full((N, J, 1), bos, hyps.dtype), hyps[..., :-1]], -1)
+        scores = []
+        for j in range(J):  # J is static: unrolled under one jit
+            nll = tkm_loss(model, params, cands, cand_lens, cand_scores,
+                           tgt_in[:, j], hyps[:, j], hyp_lens[:, j],
+                           t_weight=t_weight)
+            scores.append(-nll)
+        return jnp.stack(scores, axis=1)  # (N, J)
+
+    return run
 
 
 def marginalized_rescore(model, params, cands, cand_lens, cand_scores,
@@ -228,13 +310,5 @@ def marginalized_rescore(model, params, cands, cand_lens, cand_scores,
     """TKM decoding rescoring pass: score each grapheme hypothesis y_j
     by log Σ_k w_k p(y_j | x_k) (egs/llm-p2g TKM decoding; read_nbest.py
     marginal scoring). hyps: (N, J, U) token ids (no bos)."""
-    N, J, U = hyps.shape
-    tgt_in = jnp.concatenate(
-        [jnp.full((N, J, 1), bos, hyps.dtype), hyps[..., :-1]], -1)
-    scores = []
-    for j in range(J):
-        nll = tkm_loss(model, params, cands, cand_lens, cand_scores,
-                       tgt_in[:, j], hyps[:, j], hyp_lens[:, j],
-                       t_weight=t_weight)
-        scores.append(-nll)
-    return jnp.stack(scores, axis=1)  # (N, J)
+    return _rescore_fn(model, bos, float(t_weight))(
+        params, cands, cand_lens, cand_scores, hyps, hyp_lens)

@@ -48,25 +48,49 @@ def read_scp(path):
     return out
 
 
-def stage_tokenizer(expdir, hyper):
+def build_tokenizer(expdir, hyper, key="tokenizer", corpus_file="text"):
+    """Build/load one tokenizer named by a hyper-p key. corpus default:
+    the `corpus_file` column values of the first training dir."""
     from cat_tpu.utils import tokenizer as tknz
 
-    cfg = hyper["tokenizer"]
-    tpath = os.path.join(expdir, cfg.get("file", "tokenizer.tknz"))
+    cfg = hyper[key]
+    tpath = os.path.join(expdir, cfg.get("file", key + ".tknz"))
     if os.path.exists(tpath):
         return tknz.load(tpath)
     opts = dict(cfg.get("option-init", {}))
-    # corpus default: training transcripts
     if "corpus" not in opts and cfg["type"] != "RawTokenizer":
-        tr = hyper["data"]["train"]
-        text = read_scp(os.path.join(tr, "text"))
-        corpus_path = os.path.join(expdir, "tokenizer_corpus.txt")
+        tr = _train_sets(hyper)[0][0]
+        text = read_scp(os.path.join(tr, corpus_file))
+        corpus_path = os.path.join(expdir, f"{key}_corpus.txt")
         with open(corpus_path, "w") as f:
             f.write("\n".join(text.values()))
         opts["corpus"] = corpus_path
     tok = tknz.initialize({"type": cfg["type"], "option-init": opts})
     tok.save(tpath)
     return tok
+
+
+def stage_tokenizer(expdir, hyper):
+    return build_tokenizer(expdir, hyper)
+
+
+def load_tokenizers(expdir, hyper):
+    """All tokenizers the experiment declares: every hyper-p key that
+    starts with 'tokenizer' (e.g. tokenizer + tokenizer_grapheme for
+    JSA-SPG's dual phoneme/grapheme vocabularies, manager_jsa.py role).
+    For P2G experiments the primary tokenizer's corpus is the phoneme
+    `src` column, not the transcript."""
+    from cat_tpu.pipeline import tasks
+
+    task = tasks.get_task(hyper)
+    out = {}
+    for key in hyper:
+        if key.startswith("tokenizer"):
+            corpus_file = "text"
+            if task is not None:
+                corpus_file = task.tokenizer_corpus_file(key)
+            out[key] = build_tokenizer(expdir, hyper, key, corpus_file)
+    return out
 
 
 def extract_features(datadir, feat_cfg=None):
@@ -89,6 +113,11 @@ def extract_features(datadir, feat_cfg=None):
                           fft_size=512)
         feats = cmvn(feats)
         yield uid, np.asarray(feats[0]), text.get(uid, "")
+
+
+def _is_rnnt(hyper):
+    """Transducer bins: cat_tpu.rnnt.train / cat_tpu.rnnt.train_unified."""
+    return hyper["train"]["bin"].startswith("cat_tpu.rnnt.")
 
 
 def _train_sets(hyper):
@@ -114,11 +143,14 @@ def stage_pack(expdir, hyper, tok):
     pkl_dir = os.path.join(expdir, "pkl")
     feat_cfg = hyper.get("feature", {})
     sets = [("dev", hyper["data"]["dev"])]
-    trs = _train_sets(hyper)
-    if len(trs) == 1:
-        sets.append(("train", trs[0][0]))
-    else:
-        sets.extend((f"train_{i}", p) for i, (p, _) in enumerate(trs))
+    # streaming-shards training (manager.py:100-202 wds role): the
+    # train set is consumed directly from shards; only dev is packed
+    if not hyper["train"].get("option", {}).get("sharded_data"):
+        trs = _train_sets(hyper)
+        if len(trs) == 1:
+            sets.append(("train", trs[0][0]))
+        else:
+            sets.extend((f"train_{i}", p) for i, (p, _) in enumerate(trs))
     for split, datadir in sets:
         out = os.path.join(pkl_dir, split)
         if os.path.exists(os.path.join(out, "meta.npz")):
@@ -144,17 +176,21 @@ def stage_train(expdir, hyper, config, tok):
     task = importlib.import_module(hyper["train"]["bin"])
     opts = hyper["train"].get("option", {})
     pkl_dir = os.path.join(expdir, "pkl")
-    trs = _train_sets(hyper)
-    if len(trs) == 1:
-        tr_ds = SpeechDataset(os.path.join(pkl_dir, "train"))
-    else:
-        from cat_tpu.utils.data import WeightedConcatDataset
-
-        tr_ds = WeightedConcatDataset(
-            [SpeechDataset(os.path.join(pkl_dir, f"train_{i}"))
-             for i in range(len(trs))],
-            weights=[w for _, w in trs])
+    sharded = opts.get("sharded_data")
     dv_ds = SpeechDataset(os.path.join(pkl_dir, "dev"))
+    if sharded:
+        tr_ds = None  # streamed from shards; feat_dim/den come from dev
+    else:
+        trs = _train_sets(hyper)
+        if len(trs) == 1:
+            tr_ds = SpeechDataset(os.path.join(pkl_dir, "train"))
+        else:
+            from cat_tpu.utils.data import WeightedConcatDataset
+
+            tr_ds = WeightedConcatDataset(
+                [SpeechDataset(os.path.join(pkl_dir, f"train_{i}"))
+                 for i in range(len(trs))],
+                weights=[w for _, w in trs])
 
     model = task.build_model(config, num_classes=tok.vocab_size)
     sched, tx = build_scheduler(config["scheduler"])
@@ -169,10 +205,16 @@ def stage_train(expdir, hyper, config, tok):
     if fold > 1:
         from cat_tpu.ctc.train import accum_tx
         tx = accum_tx(tx, fold, grad_clip)
-    state = task.init_state(model, tx, tr_ds.feat_dim)
+    feat_dim = dv_ds.feat_dim if sharded else tr_ds.feat_dim
+    state = task.init_state(model, tx, feat_dim)
 
     den = None
     if loss_type == "crf":
+        if sharded:
+            raise ValueError(
+                "CTC-CRF with sharded_data needs an explicit den LM: "
+                "den-LM estimation scans the packed train set (pack the "
+                "transcripts or train the den n-gram offline)")
         den = build_den(expdir, hyper, tok, tr_ds)
     specaug_cfg = config.get("specaug")
 
@@ -181,18 +223,55 @@ def stage_train(expdir, hyper, config, tok):
                      multiple_of=max(jax.device_count(), 1),
                      host_index=jax.process_index(),
                      host_count=jax.process_count())
-    train_loader = BucketedLoader(tr_ds, seed=opts.get("seed", 0),
-                                  **loader_kw)
+    if sharded:
+        # streaming-shards train path (hyper option "sharded_data":
+        # shard dir or glob/brace pattern; reference
+        # cat/shared/manager.py:100-202 + prep_wds.py). Host split =
+        # shards[host::count]; shuffle-buffer + shard shuffle seeded;
+        # mid-epoch resume is wds-style NON-strict (Manager skips N
+        # batches of the re-streamed epoch, which re-shuffles).
+        from cat_tpu.utils.data_sharded import (ShardedSpeechDataset,
+                                                StreamingBucketLoader)
+
+        pattern = str(sharded)
+        if os.path.isdir(pattern):
+            pattern = os.path.join(pattern, "shard-*.npz")
+        shard_ds = ShardedSpeechDataset(
+            pattern, host_index=jax.process_index(),
+            host_count=jax.process_count(),
+            shuffle_buffer=opts.get("shuffle_buffer", 1024),
+            seed=opts.get("seed", 0))
+        buckets = opts.get("buckets", (400, 800, 1200, 1700))
+        train_loader = StreamingBucketLoader(
+            shard_ds, frame_budget=opts.get("frame_budget", 20000),
+            buckets=tuple(buckets),
+            label_caps=opts.get("label_caps"),
+            multiple_of=max(jax.device_count(), 1) // jax.process_count()
+            if jax.process_count() > 1 else max(jax.device_count(), 1),
+            feat_dim=feat_dim)
+    else:
+        train_loader = BucketedLoader(tr_ds, seed=opts.get("seed", 0),
+                                      **loader_kw)
     eval_loader = BucketedLoader(dv_ds, shuffle=False, **loader_kw)
 
-    if hyper["train"]["bin"].endswith("rnnt.train"):
+    if _is_rnnt(hyper):
         rnnt_kw = dict(topo=trainer_cfg.get("topo", "rnnt"),
                        eos_id=trainer_cfg.get("eos_id", -1),
                        joiner_normalized=config.get("joiner", {}).get(
                            "type") == "HAT")
-        train_step = task.make_train_step(
-            model, tx, specaug_cfg=specaug_cfg, grad_clip=grad_clip,
-            grad_accum_fold=fold, **rnnt_kw)
+        if hyper["train"]["bin"].endswith("train_unified"):
+            # CUSIDE transducer (cat/rnnt/train_unified.py role)
+            rnnt_kw.update(
+                lamb_chunk=trainer_cfg.get("lamb_chunk", 0.5),
+                future=trainer_cfg.get("future", "simu"))
+            train_step = task.make_train_step(
+                model, tx, specaug_cfg=specaug_cfg, grad_clip=grad_clip,
+                grad_accum_fold=fold,
+                lamb_simu=trainer_cfg.get("lamb_simu", 1.0), **rnnt_kw)
+        else:
+            train_step = task.make_train_step(
+                model, tx, specaug_cfg=specaug_cfg, grad_clip=grad_clip,
+                grad_accum_fold=fold, **rnnt_kw)
         eval_step = task.make_eval_step(model, **rnnt_kw)
     else:
         train_step = task.make_train_step(
@@ -262,7 +341,7 @@ def _make_eval_metric(hyper, config, model, tok, dv_ds, opts):
 
     beam = int(cfg.get("beam_width", 1))
     char_level = bool(cfg.get("cer", False))
-    is_rnnt = hyper["train"]["bin"].endswith("rnnt.train")
+    is_rnnt = _is_rnnt(hyper)
     loader = BucketedLoader(dv_ds, shuffle=False,
                             frame_budget=opts.get("frame_budget", 20000),
                             num_buckets=opts.get("num_buckets", 4),
@@ -459,6 +538,70 @@ def _build_wfst_decoder(expdir, hyper, config, tok, dec_cfg):
     return dec, id2word
 
 
+def _load_lm_exp(lm_dir):
+    """(model, params, tokenizer) from a trained lm-pipeline expdir."""
+    from cat_tpu.lm import train as lm_train
+    from cat_tpu.utils import tokenizer as tknz
+    from cat_tpu.utils.checkpoint import CheckpointManager, load_checkpoint
+
+    lm_hyper = load_json(os.path.join(lm_dir, "hyper-p.json"))
+    lm_config = load_json(os.path.join(lm_dir, "config.json"))
+    lm_tok = tknz.load(os.path.join(
+        lm_dir, lm_hyper["tokenizer"].get("file", "tokenizer.tknz")))
+    lm_model = lm_train.build_model(lm_config,
+                                    num_classes=lm_tok.vocab_size)
+    ckpt = CheckpointManager(os.path.join(lm_dir, "check"))
+    st = load_checkpoint(ckpt.path(ckpt.best()))["state"]
+    lm_params = st.params if hasattr(st, "params") else st["params"]
+    return lm_model, lm_params, lm_tok
+
+
+def _build_decode_lm(expdir, hyper, tok, dec_cfg):
+    """External LM for shallow fusion / LODR at decode, from
+    decode: {"lm": {...}, "alpha": α, "beta": β} (the reference's
+    --lm-config/--lm-check/--alpha, cat/rnnt/decode.py:285-301).
+
+    Forms of decode["lm"]:
+      {"type": "ngram", "order": N}      — token-level n-gram over the
+        training transcripts (tokenized with the AM tokenizer);
+      {"type": "nn", "exp": DIR}         — neural LM from a trained
+        lm-pipeline expdir (must share the AM token vocabulary);
+      {"type": "lodr", "nn": {"exp": DIR}, "order": N,
+       "ngram_weight": -0.3}             — LODR: NN LM + negatively
+        weighted n-gram (decoder.py:705-795 MultiDecoder role).
+    Returns a scorer with logp(ctx, tok) in log10, or None."""
+    cfg = dec_cfg.get("lm")
+    if not cfg:
+        return None
+
+    def token_ngram(order):
+        from cat_tpu.fst.ngram import train_ngram
+
+        tr = _train_sets(hyper)[0][0]
+        text = read_scp(os.path.join(tr, "text"))
+        seqs = [[int(t) for t in tok.encode(s)] for s in text.values()]
+        return train_ngram(seqs, order=order)
+
+    kind = cfg.get("type", "ngram")
+    if kind == "ngram":
+        return token_ngram(cfg.get("order", 3))
+    if kind == "nn":
+        from cat_tpu.lm.scorer import NeuralLMScorer
+
+        lm_model, lm_params, _ = _load_lm_exp(cfg["exp"])
+        return NeuralLMScorer(lm_model, lm_params)
+    if kind == "lodr":
+        from cat_tpu.lm.scorer import NeuralLMScorer
+        from cat_tpu.rnnt.decode import CombinedLM
+
+        lm_model, lm_params, _ = _load_lm_exp(cfg["nn"]["exp"])
+        nn = NeuralLMScorer(lm_model, lm_params)
+        ng = token_ngram(cfg.get("order", 2))
+        return CombinedLM([(nn, 1.0),
+                           (ng, float(cfg.get("ngram_weight", -0.3)))])
+    raise ValueError(f"unknown decode lm type {kind}")
+
+
 def _maybe_rescore(expdir, hyper, tok, nbest, dec_cfg):
     """Optional n-best LM rescoring (cat/lm/rescore.py:145-200 score =
     am + α·lm + β·len). dec_cfg["rescore"] = {"alpha", "beta",
@@ -481,21 +624,7 @@ def _maybe_rescore(expdir, hyper, tok, nbest, dec_cfg):
         lm_nll = ngram_nll(lm, nbest)
     else:
         # neural LM from a trained lm-pipeline experiment directory
-        from cat_tpu.lm import train as lm_train
-        from cat_tpu.utils import tokenizer as tknz
-        from cat_tpu.utils.checkpoint import (CheckpointManager,
-                                              load_checkpoint)
-
-        lm_dir = lm_cfg["exp"]
-        lm_hyper = load_json(os.path.join(lm_dir, "hyper-p.json"))
-        lm_config = load_json(os.path.join(lm_dir, "config.json"))
-        lm_tok = tknz.load(os.path.join(
-            lm_dir, lm_hyper["tokenizer"].get("file", "tokenizer.tknz")))
-        lm_model = lm_train.build_model(lm_config,
-                                        num_classes=lm_tok.vocab_size)
-        ckpt = CheckpointManager(os.path.join(lm_dir, "check"))
-        st = load_checkpoint(ckpt.path(ckpt.best()))["state"]
-        lm_params = st.params if hasattr(st, "params") else st["params"]
+        lm_model, lm_params, lm_tok = _load_lm_exp(lm_cfg["exp"])
         lm_nll = neural_nll(lm_model, lm_params, nbest, lm_tok)
     scored = rescore_nbest(nbest, lm_nll, alpha=rs.get("alpha", 1.0),
                            beta=rs.get("beta", 0.0))
@@ -539,7 +668,7 @@ def stage_decode(expdir, hyper, config, tok):
     mode = dec_cfg.get("mode", "beam")
     beam = dec_cfg.get("beam_width", 16)
     nbest_n = int(dec_cfg.get("nbest", min(beam, 8)))
-    is_rnnt = hyper["train"]["bin"].endswith("rnnt.train")
+    is_rnnt = _is_rnnt(hyper)
     is_unified = hyper["train"]["bin"].endswith("train_unified")
 
     loader = BucketedLoader(ds, shuffle=False,
@@ -553,13 +682,18 @@ def stage_decode(expdir, hyper, config, tok):
         wfst_dec, id2word = _build_wfst_decoder(expdir, hyper, config,
                                                 tok, dec_cfg)
 
+    # external LM fusion from config (decode: {"lm": ..., "alpha": ...})
+    fusion_lm = _build_decode_lm(expdir, hyper, tok, dec_cfg)
+
     if is_rnnt:
         from cat_tpu.rnnt.decode import RNNTBeamDecoder
         decoder = RNNTBeamDecoder(
             model, params, beam_width=beam, batch_stats=batch_stats,
+            lm=fusion_lm,
             alpha=dec_cfg.get("alpha", 0.0),
             beta=dec_cfg.get("beta", 0.0),
-            ilm_weight=dec_cfg.get("ilm_weight", 0.0))
+            ilm_weight=dec_cfg.get("ilm_weight", 0.0),
+            streaming=(mode == "streaming" and is_unified))
     else:
         if is_unified:
             from cat_tpu.ctc.streaming import chunk_infer
@@ -627,6 +761,25 @@ def stage_decode(expdir, hyper, config, tok):
                     per_utt.append([
                         (s, [id2word[i] for i in wids if i in id2word])
                         for s, wids in hyp])
+            elif fusion_lm is not None:
+                # LM-fused host prefix beam (ctcdecode + LM role,
+                # cat/ctc/decode.py --lm): exact fusion needs host-side
+                # scoring, one utterance at a time
+                from cat_tpu.ctc.decode import prefix_beam_search
+
+                lp_np, ol_np = np.asarray(lp), np.asarray(olens)
+                per_utt = []
+                for n in range(lp_np.shape[0]):
+                    if w[n] <= 0:
+                        per_utt.append([(0.0, [])])
+                        continue
+                    nb = prefix_beam_search(
+                        lp_np[n], int(ol_np[n]), beam_width=beam,
+                        lm=fusion_lm,
+                        alpha=float(dec_cfg.get("alpha", 0.3)),
+                        beta=float(dec_cfg.get("beta", 0.0)),
+                        nbest=nbest_n)
+                    per_utt.append([(s, list(pre)) for s, pre in nb])
             else:  # on-device batched prefix beam
                 from cat_tpu.ctc.decode_jax import ctc_beam_search_device
                 prefixes, plens, scores = ctc_beam_search_device(
@@ -662,16 +815,25 @@ def stage_decode(expdir, hyper, config, tok):
     if rescored is not None:
         hyps = rescored
 
-    nbest_path = os.path.join(expdir, f"nbest_{test_split}.pkl")
-    write_nbest(all_nbest, nbest_path)
+    return finalize_decode(expdir, test_split, refs, hyps, all_nbest,
+                           wall, audio_s, mode, dec_cfg)
+
+
+def finalize_decode(expdir, split, refs, hyps, all_nbest, wall, audio_s,
+                    mode, dec_cfg):
+    """Shared stage-4 epilogue: n-best dump + WER/RTF + result files
+    (used by the default path and every task adapter)."""
+    from cat_tpu.utils.nbest import write_nbest
+    from cat_tpu.utils.wer import wer
+
+    write_nbest(all_nbest, os.path.join(expdir, f"nbest_{split}.pkl"))
     res = wer(refs, hyps, char_level=dec_cfg.get("cer", False))
-    res["rtf"] = wall / max(audio_s, 1e-6)
+    res["rtf"] = wall / max(audio_s, 1e-6) if audio_s > 0 else 0.0
     res["mode"] = mode
-    out_path = os.path.join(expdir, f"decode_{test_split}.txt")
-    with open(out_path, "w") as f:
+    with open(os.path.join(expdir, f"decode_{split}.txt"), "w") as f:
         for uid in sorted(hyps):
             f.write(f"{uid}\t{hyps[uid]}\n")
-    with open(os.path.join(expdir, f"wer_{test_split}.json"), "w") as f:
+    with open(os.path.join(expdir, f"wer_{split}.json"), "w") as f:
         json.dump(res, f, indent=1)
     print(f"WER {res['wer']:.2f}% "
           f"(sub {res['sub']} ins {res['ins']} del {res['del']}) "
@@ -688,18 +850,36 @@ def main(argv=None):
     hyper = load_json(os.path.join(args.expdir, "hyper-p.json"))
     config = load_json(os.path.join(args.expdir, "config.json"))
 
-    tok = stage_tokenizer(args.expdir, hyper)
-    print(f"[stage 1] tokenizer ready, vocab={tok.vocab_size}")
+    # task adapter: ME2E / JSA-SPG / LLM-P2G bins plug their own pack/
+    # train/decode behind the uniform 4-stage contract (the reference
+    # drives these through one pipeline via its Manager variants,
+    # cat/utils/pipeline/common_utils.py:483-486)
+    from cat_tpu.pipeline import tasks
+
+    task = tasks.get_task(hyper)
+    toks = load_tokenizers(args.expdir, hyper)
+    tok = toks.get("tokenizer")
+    print(f"[stage 1] tokenizer(s) ready: "
+          + ", ".join(f"{k}={v.vocab_size}" for k, v in toks.items()))
     if args.stop_stage < 2:
         return
     if args.start_stage <= 2:
-        stage_pack(args.expdir, hyper, tok)
+        if task is not None:
+            task.pack(args.expdir, hyper, toks)
+        else:
+            stage_pack(args.expdir, hyper, tok)
         print("[stage 2] data packed")
     if args.start_stage <= 3 <= args.stop_stage:
-        stage_train(args.expdir, hyper, config, tok)
+        if task is not None:
+            task.train(args.expdir, hyper, config, toks)
+        else:
+            stage_train(args.expdir, hyper, config, tok)
         print("[stage 3] training done")
     if args.start_stage <= 4 <= args.stop_stage:
-        stage_decode(args.expdir, hyper, config, tok)
+        if task is not None:
+            task.decode(args.expdir, hyper, config, toks)
+        else:
+            stage_decode(args.expdir, hyper, config, tok)
         print("[stage 4] decode done")
 
 

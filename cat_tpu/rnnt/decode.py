@@ -55,15 +55,19 @@ def _as_variables(params_or_state, batch_stats=None):
 
 
 def make_greedy_decoder(model, blank=0, max_symbols=4, max_out=200,
-                        joiner_normalized=False, batch_stats=None):
+                        joiner_normalized=False, batch_stats=None,
+                        streaming=False):
     """Returns jitted fn(params, feats, flens) →
     (tokens (N, max_out), counts (N,)). `params` may be bare params, a
-    {"params": ..., "batch_stats": ...} dict, or a TrainState."""
+    {"params": ..., "batch_stats": ...} dict, or a TrainState.
+    streaming=True uses model.encode_streaming (chunked CUSIDE encoding
+    of a unified transducer, cat/rnnt/decode.py --streaming role)."""
+    enc_method = model.encode_streaming if streaming else model.encode
 
     def decode(params, feats, flens):
         v = _as_variables(params, batch_stats)
         enc, olens = model.apply(v, feats, flens, deterministic=True,
-                                 method=model.encode)
+                                 method=enc_method)
         N, T, _ = enc.shape
         state0 = model.predictor.init_state(N)
         bos = jnp.zeros((N,), jnp.int32)
@@ -133,7 +137,7 @@ class RNNTBeamDecoder:
     def __init__(self, model, params, beam_width=8, blank=0,
                  lm=None, alpha=0.0, beta=0.0, max_symbols=3,
                  joiner_normalized=False, ilm_weight=0.0,
-                 batch_stats=None):
+                 batch_stats=None, streaming=False):
         self.model = model
         self.params = params
         self.W = beam_width
@@ -150,8 +154,11 @@ class RNNTBeamDecoder:
         self.joiner_normalized = joiner_normalized
         self.ilm_weight = ilm_weight
         v = _as_variables(params, batch_stats)
+        # streaming: chunked CUSIDE encoding (unified transducer)
+        enc_method = model.encode_streaming if streaming \
+            else model.encode
         self._encode = jax.jit(lambda f, l: model.apply(
-            v, f, l, deterministic=True, method=model.encode))
+            v, f, l, deterministic=True, method=enc_method))
         self._pred_step = jax.jit(lambda t, s: model.apply(
             v, t, s, method=model.predict_step))
 

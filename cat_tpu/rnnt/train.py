@@ -196,7 +196,8 @@ def make_loss_fn(model, specaug_cfg: Optional[dict] = None,
 def make_train_step(model, tx, specaug_cfg=None, grad_clip=5.0,
                     joiner_normalized=False, topo="rnnt", eos_id=-1,
                     grad_accum_fold=1):
-    from cat_tpu.ctc.train import _make_accum_train_step, set_lr
+    from cat_tpu.ctc.train import (_make_accum_train_step, _tree_where,
+                                   set_lr)
 
     loss_fn = make_loss_fn(model, specaug_cfg, joiner_normalized, topo,
                            eos_id)
@@ -210,15 +211,25 @@ def make_train_step(model, tx, specaug_cfg=None, grad_clip=5.0,
             loss_fn, has_aux=True)(state.params, state.batch_stats,
                                    batch, rng, True)
         gnorm = optax.global_norm(grads)
+        # NaN/Inf skip-update guard (manager_wo.py:613-641 role)
+        finite = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
         if grad_clip > 0:
             scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            scale = jnp.where(finite, scale, 0.0)
             grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-        opt_state = set_lr(state.opt_state, lr)
-        updates, opt_state = tx.update(grads, opt_state, state.params)
+        opt_state0 = set_lr(state.opt_state, lr)
+        updates, opt_state = tx.update(grads, opt_state0, state.params)
         params = optax.apply_updates(state.params, updates)
-        return (state.replace(params=params, batch_stats=new_stats,
-                              opt_state=opt_state, step=state.step + 1),
-                {"loss": loss, "grad_norm": gnorm})
+        return (state.replace(
+                    params=_tree_where(finite, params, state.params),
+                    batch_stats=_tree_where(finite, new_stats,
+                                            state.batch_stats),
+                    opt_state=_tree_where(finite, opt_state, opt_state0),
+                    step=state.step + 1),
+                {"loss": loss, "grad_norm": gnorm,
+                 "skipped": (~finite).astype(jnp.int32)})
 
     return train_step
 

@@ -6,8 +6,12 @@ import wave
 import numpy as np
 
 
-def read_wav(path):
-    """Read 16-bit PCM WAV → (samples f32 in [-1,1], sample_rate)."""
+def read_wav(path, mono=True):
+    """Read 16-bit PCM WAV → (samples f32 in [-1,1], sample_rate).
+
+    mono=True downmixes multichannel; mono=False returns (L, C) for
+    multichannel files (ME2E array recordings, reference
+    cat/ctc/train_me2e.py raw-wave input) and (L,) for mono ones."""
     with wave.open(path, "rb") as w:
         sr = w.getframerate()
         n = w.getnframes()
@@ -23,15 +27,19 @@ def read_wav(path):
     else:
         raise ValueError(f"unsupported sample width {width}")
     if ch > 1:
-        data = data.reshape(-1, ch).mean(axis=1)
+        data = data.reshape(-1, ch)
+        if mono:
+            data = data.mean(axis=1)
     return data, sr
 
 
 def write_wav(path, samples, sample_rate=16000):
+    """Write 16-bit PCM WAV. samples: (L,) mono or (L, C) multichannel."""
     samples = np.clip(np.asarray(samples), -1.0, 1.0)
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
     pcm = (samples * 32767.0).astype(np.int16)
     with wave.open(path, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(ch)
         w.setsampwidth(2)
         w.setframerate(sample_rate)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(np.ascontiguousarray(pcm).tobytes())

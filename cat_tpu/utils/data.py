@@ -127,6 +127,230 @@ class CorpusDataset:
         return int(self.offsets[i + 1] - self.offsets[i])
 
 
+def pack_seq2seq(out_dir, pairs):
+    """Pack paired token sequences (P2G / seq2seq tasks).
+
+    pairs: iterable of (uid, src_ids, tgt_ids) or (uid, src_ids,
+    tgt_ids, nbest) where nbest = [(score, cand_ids), ...] (TKM/SKM
+    candidate sets, reference egs/llm-p2g data prep). Counterpart of the
+    reference's offline DANP/TKM data generation."""
+    os.makedirs(out_dir, exist_ok=True)
+    src_off, tgt_off = [0], [0]
+    src_flat, tgt_flat = [], []
+    uids = []
+    cand_utt_off = [0]     # per-utt slice into the candidate list
+    cand_off = [0]         # per-candidate slice into cand_flat
+    cand_flat, cand_scores = [], []
+    has_nbest = False
+    for item in pairs:
+        uid, src, tgt = item[0], item[1], item[2]
+        nbest = item[3] if len(item) > 3 else None
+        src_flat.extend(int(x) for x in src)
+        tgt_flat.extend(int(x) for x in tgt)
+        src_off.append(len(src_flat))
+        tgt_off.append(len(tgt_flat))
+        uids.append(uid)
+        if nbest:
+            has_nbest = True
+            for score, cand in nbest:
+                cand_flat.extend(int(x) for x in cand)
+                cand_off.append(len(cand_flat))
+                cand_scores.append(float(score))
+        cand_utt_off.append(len(cand_off) - 1)
+    np.savez(os.path.join(out_dir, "seq2seq.npz"),
+             src=np.asarray(src_flat, np.int32),
+             src_offsets=np.asarray(src_off, np.int64),
+             tgt=np.asarray(tgt_flat, np.int32),
+             tgt_offsets=np.asarray(tgt_off, np.int64),
+             cand=np.asarray(cand_flat, np.int32),
+             cand_offsets=np.asarray(cand_off, np.int64),
+             cand_utt_offsets=np.asarray(cand_utt_off, np.int64),
+             cand_scores=np.asarray(cand_scores, np.float32),
+             has_nbest=np.bool_(has_nbest))
+    with open(os.path.join(out_dir, "uids.txt"), "w") as f:
+        f.write("\n".join(uids))
+    return out_dir
+
+
+class Seq2SeqDataset:
+    """Packed paired-token dataset: __getitem__ → (src, tgt)."""
+
+    feat_dim = 0  # token inputs, no feature axis
+
+    def __init__(self, path):
+        z = np.load(os.path.join(path, "seq2seq.npz"))
+        self.src, self.src_offsets = z["src"], z["src_offsets"]
+        self.tgt, self.tgt_offsets = z["tgt"], z["tgt_offsets"]
+        self.cand, self.cand_offsets = z["cand"], z["cand_offsets"]
+        self.cand_utt_offsets = z["cand_utt_offsets"]
+        self.cand_scores = z["cand_scores"]
+        self.has_nbest = bool(z["has_nbest"])
+        with open(os.path.join(path, "uids.txt")) as f:
+            self.uids = f.read().splitlines()
+
+    def __len__(self):
+        return len(self.src_offsets) - 1
+
+    def frame_length(self, i):  # bucketing key = source length
+        return int(self.src_offsets[i + 1] - self.src_offsets[i])
+
+    def label_length(self, i):
+        return int(self.tgt_offsets[i + 1] - self.tgt_offsets[i])
+
+    def __getitem__(self, i):
+        s = self.src[self.src_offsets[i]:self.src_offsets[i + 1]]
+        t = self.tgt[self.tgt_offsets[i]:self.tgt_offsets[i + 1]]
+        return np.asarray(s), np.asarray(t)
+
+    def nbest(self, i):
+        """[(score, cand_ids)] for utterance i (TKM candidates)."""
+        out = []
+        for k in range(int(self.cand_utt_offsets[i]),
+                       int(self.cand_utt_offsets[i + 1])):
+            c = self.cand[self.cand_offsets[k]:self.cand_offsets[k + 1]]
+            out.append((float(self.cand_scores[k]), np.asarray(c)))
+        return out
+
+
+@dataclass
+class Seq2SeqBatch:
+    """Static-shape padded seq2seq batch (+ optional TKM candidates)."""
+
+    src: np.ndarray          # (B, S) int32
+    src_lens: np.ndarray     # (B,) int32
+    tgt: np.ndarray          # (B, U) int32
+    tgt_lens: np.ndarray     # (B,) int32
+    weight: np.ndarray       # (B,) f32
+    uids: list | None = None
+    cands: np.ndarray | None = None        # (B, K, S) int32
+    cand_lens: np.ndarray | None = None    # (B, K) int32
+    cand_scores: np.ndarray | None = None  # (B, K) f32
+
+    def asdict(self):
+        d = dict(src=self.src, src_lens=self.src_lens, tgt=self.tgt,
+                 tgt_lens=self.tgt_lens, weight=self.weight)
+        if self.cands is not None:
+            d.update(cands=self.cands, cand_lens=self.cand_lens,
+                     cand_scores=self.cand_scores)
+        return d
+
+
+class Seq2SeqLoader:
+    """Bucketed static-shape batching for Seq2SeqDataset (the P2G /
+    LLM-P2G loader; same fixed-shape-set design as BucketedLoader)."""
+
+    def __init__(self, dataset, frame_budget=4096, num_buckets=4,
+                 multiple_of=1, shuffle=True, seed=0, num_cands=None,
+                 host_index=0, host_count=1):
+        self.ds = dataset
+        self.shuffle = shuffle
+        self.seed = seed
+        self.host_index = int(host_index)
+        self.host_count = max(int(host_count), 1)
+        multiple_of = int(np.lcm(multiple_of, self.host_count))
+        self.multiple_of = multiple_of
+        n = len(dataset)
+        self.slens = np.asarray([dataset.frame_length(i)
+                                 for i in range(n)])
+        self.tlens = np.asarray([dataset.label_length(i)
+                                 for i in range(n)])
+        self.indices = np.nonzero((self.slens > 0) & (self.tlens > 0))[0]
+        if len(self.indices) == 0:
+            raise ValueError("no usable pairs (empty src or tgt)")
+        self.buckets = make_buckets(self.slens[self.indices], num_buckets,
+                                    min_len=8)
+        self.batch_sizes, self.tgt_caps = [], []
+        for edge in self.buckets:
+            bs = max(frame_budget // edge, 1)
+            bs = max((bs // multiple_of) * multiple_of, multiple_of)
+            self.batch_sizes.append(bs)
+            in_b = self.indices[self.slens[self.indices] <= edge]
+            cap = int(self.tlens[in_b].max()) if len(in_b) else 1
+            self.tgt_caps.append(max(cap, 1))
+        self.K = 0
+        if dataset.has_nbest:
+            ks = [len(dataset.nbest(int(i))) for i in self.indices]
+            self.K = num_cands or max(max(ks), 1)
+            # candidates are phoneme sequences ≈ src length
+            self.cand_cap = int(max(
+                (dataset.cand_offsets[1:] - dataset.cand_offsets[:-1]).max(),
+                1)) if len(dataset.cand_offsets) > 1 else 1
+
+    def bucket_of(self, length):
+        for b, edge in enumerate(self.buckets):
+            if length <= edge:
+                return b
+        return len(self.buckets) - 1
+
+    def __iter__(self):
+        return self.epoch(0)
+
+    def epoch(self, epoch_idx):
+        rng = np.random.default_rng(self.seed + epoch_idx)
+        order = self.indices.copy()
+        if self.shuffle:
+            rng.shuffle(order)
+        pools = [[] for _ in self.buckets]
+        for i in order:
+            b = self.bucket_of(self.slens[i])
+            pools[b].append(i)
+            if len(pools[b]) == self.batch_sizes[b]:
+                yield self._collate(pools[b], b)
+                pools[b] = []
+        for b, pool in enumerate(pools):
+            if pool:
+                yield self._collate(pool, b)
+
+    def num_batches(self):
+        cnt = 0
+        pools = [0] * len(self.buckets)
+        for i in self.indices:
+            pools[self.bucket_of(self.slens[i])] += 1
+        for b, n in enumerate(pools):
+            cnt += (n + self.batch_sizes[b] - 1) // self.batch_sizes[b]
+        return cnt
+
+    def _collate(self, idxs, b):
+        B, S, U = self.batch_sizes[b], self.buckets[b], self.tgt_caps[b]
+        real = len(idxs)
+        B_loc = B // self.host_count
+        j0 = self.host_index * B_loc
+        src = np.zeros((B_loc, S), np.int32)
+        tgt = np.zeros((B_loc, U), np.int32)
+        sl = np.zeros((B_loc,), np.int32)
+        tl = np.zeros((B_loc,), np.int32)
+        w = np.zeros((B_loc,), np.float32)
+        uids = []
+        cands = cl = cs = None
+        if self.K:
+            Tp = self.cand_cap
+            cands = np.zeros((B_loc, self.K, Tp), np.int32)
+            cl = np.ones((B_loc, self.K), np.int32)
+            cs = np.full((B_loc, self.K), -1e30, np.float32)
+        for k in range(B_loc):
+            j = j0 + k
+            i = int(idxs[j % real])
+            s, t = self.ds[i]
+            src[k, : min(len(s), S)] = s[:S]
+            tgt[k, : min(len(t), U)] = t[:U]
+            sl[k] = min(len(s), S)
+            tl[k] = min(len(t), U)
+            w[k] = 1.0 if j < real else 0.0
+            if j < real:
+                uids.append(self.ds.uids[i])
+            if self.K:
+                nb = self.ds.nbest(i)
+                if not nb:  # no candidates: the src itself, weight 1
+                    nb = [(0.0, s)]
+                for q, (score, c) in enumerate(nb[: self.K]):
+                    c = np.asarray(c)[: cands.shape[2]]
+                    cands[k, q, : len(c)] = c
+                    cl[k, q] = max(len(c), 1)
+                    cs[k, q] = score
+        return Seq2SeqBatch(src, sl, tgt, tl, w, uids=uids, cands=cands,
+                            cand_lens=cl, cand_scores=cs)
+
+
 def make_buckets(lengths, num_buckets=8, min_len=16):
     """Choose bucket boundaries (frame counts) from the empirical length
     distribution: quantile-based, rounded up to multiples of 16."""
@@ -211,7 +435,8 @@ class BucketedLoader:
 
     def __init__(self, dataset, frame_budget=40000, num_buckets=8,
                  multiple_of=1, shuffle=True, seed=0, max_label_len=None,
-                 drop_infeasible=True, host_index=0, host_count=1):
+                 drop_infeasible=True, host_index=0, host_count=1,
+                 feasibility_divisor=4):
         """host_index/host_count: multi-host SPMD input sharding (the
         reference's split_by_node, cat/shared/manager.py:100-202). Every
         host computes the SAME deterministic global batch schedule
@@ -231,8 +456,11 @@ class BucketedLoader:
         self.llens = np.asarray([dataset.label_length(i) for i in range(n)])
         keep = np.ones(n, bool)
         if drop_infeasible:
-            # CTC feasibility filter x//4 > y (cat/ctc/train.py:34-42)
-            keep &= (self.flens // 4) > self.llens
+            # CTC feasibility filter x//divisor > y (cat/ctc/train.py:
+            # 34-42). divisor = encoder subsampling (4) for fbank input;
+            # raw-wave ME2E passes hop*subsampling (e.g. 160*4=640) so
+            # the filter sees output FRAMES, not samples.
+            keep &= (self.flens // feasibility_divisor) > self.llens
         self.indices = np.nonzero(keep)[0]
         if len(self.indices) == 0:
             raise ValueError(

@@ -82,7 +82,8 @@ class Manager:
                  check_freq: int = -1, verbose: bool = True,
                  profile_steps: Optional[tuple] = None,
                  grad_accum_fold: int = 1,
-                 eval_metric: Optional[Callable] = None):
+                 eval_metric: Optional[Callable] = None,
+                 batch_transform: Optional[Callable] = None):
         self.train_step = train_step
         self.eval_step = eval_step
         self.state = state
@@ -95,6 +96,10 @@ class Manager:
         self.put_batch = put_batch or (lambda b: b)
         self.max_epochs = max_epochs
         self.check_freq = check_freq  # steps between evals; -1 = per epoch
+        # loader Batch -> train/eval-step payload. Default: plain dict of
+        # arrays. Task adapters override it to reshape the payload (JSA
+        # needs uids for its sampler cache; P2G shifts targets).
+        self.batch_transform = batch_transform or (lambda b: b.asdict())
         # grad accumulation: the LR schedule advances once per optimizer
         # UPDATE (fold micro-batches), matching the reference where the
         # scheduler steps per fold-closing batch (manager.py:660-676)
@@ -154,7 +159,8 @@ class Manager:
     def evaluate(self):
         total, count = 0.0, 0.0
         for batch in self.eval_loader:
-            m = self.eval_step(self.state, self.put_batch(batch.asdict()))
+            m = self.eval_step(self.state,
+                               self.put_batch(self.batch_transform(batch)))
             total += float(m["loss_sum"])
             count += float(m["count"])
         return total / max(count, 1.0)
@@ -191,7 +197,7 @@ class Manager:
                 self.rng, sub = jax.random.split(self.rng)
                 t1 = time.time()
                 self.state, metrics = self.train_step(
-                    self.state, self.put_batch(batch.asdict()),
+                    self.state, self.put_batch(self.batch_transform(batch)),
                     jnp.float32(self.scheduler.lr), sub)
                 t_step += time.time() - t1
                 if self.check_freq > 0 and \

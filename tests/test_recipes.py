@@ -66,10 +66,10 @@ def _init_for(hyper, config):
     task = importlib.import_module(bin_)
 
     if bin_ in ("cat_tpu.ctc.train", "cat_tpu.ctc.train_unified",
-                "cat_tpu.rnnt.train"):
+                "cat_tpu.rnnt.train", "cat_tpu.rnnt.train_unified"):
         model = task.build_model(config, num_classes=VOCAB)
         return task.init_state(model, tx, feat_dim)
-    if bin_ == "cat_tpu.ctc.train_me2e":
+    if bin_ in ("cat_tpu.ctc.train_me2e", "cat_tpu.ctc.train_me2e_chunk"):
         model = task.build_model(config, num_classes=VOCAB)
         return task.init_state(model, tx)
     if bin_ == "cat_tpu.lm.train" or bin_ == "cat_tpu.lm.train_trf":
