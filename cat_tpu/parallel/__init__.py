@@ -12,6 +12,7 @@ from cat_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
     replicated,
+    tensor_parallel_shardings,
     zero1_shardings,
     shard_batch,
 )

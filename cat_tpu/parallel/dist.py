@@ -53,3 +53,24 @@ def host_sum(value):
     """Sum a host-side metric across processes."""
     vals = all_gather_host_values(value)
     return np.sum(np.asarray(vals), axis=0)
+
+
+def all_gather_host_objects(obj):
+    """Gather an arbitrary picklable host object from every process
+    (gather_object role, reference cat/ctc/train.py:237-250): pickle →
+    uint8, pad to the global max length, allgather, unpickle."""
+    if jax.process_count() == 1:
+        return [obj]
+    import pickle
+
+    from jax.experimental import multihost_utils
+
+    raw = np.frombuffer(pickle.dumps(obj, protocol=4), np.uint8)
+    n = np.asarray([raw.size], np.int64)
+    sizes = multihost_utils.process_allgather(n).reshape(-1)
+    cap = int(sizes.max())
+    buf = np.zeros((cap,), np.uint8)
+    buf[: raw.size] = raw
+    gathered = multihost_utils.process_allgather(buf)
+    return [pickle.loads(gathered[i, : int(sizes[i])].tobytes())
+            for i in range(len(sizes))]

@@ -57,6 +57,69 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(put, batch)
 
 
+def tensor_parallel_shardings(params, mesh: Mesh):
+    """Megatron-style tensor-parallel NamedShardings for the conformer
+    zoo over the mesh's 'model' axis (the scaling-book TP recipe: pick
+    a mesh, annotate weight shardings, let GSPMD insert the
+    all-gathers/reduce-scatters on ICI).
+
+    Sharded pairs (column- then row-parallel, so the activation stays
+    sharded between them and only one collective per block is needed):
+      - FF up-projection kernel (D, 4D) → (None, 'model'), its bias
+        ('model'); FF down-projection (4D, D) → ('model', None)
+      - attention q/k/v/pos kernels (D, H, Dh) → heads on 'model';
+        their biases and the rel-pos u/v biases (H, Dh) → ('model', …);
+        out-projection (H, Dh, D) → ('model', None, None)
+      - classifier kernel (D, V) → vocab-sharded (None, 'model')
+    Everything else (LayerNorm, conv module, subsampling) replicates.
+    Specs are right-aligned so scan-stacked layer params (leading cell
+    axis from scan_layers=True) shard identically. Dims not divisible
+    by the axis size fall back to replication.
+    """
+    nmodel = mesh.shape.get("model", 1)
+
+    def spec_for(path, x):
+        if nmodel <= 1:
+            return P()
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        nd = np.ndim(x)
+
+        def right(tail):
+            return [None] * (nd - len(tail)) + list(tail)
+
+        spec = None
+        attn = "MultiHeadAttention" in name
+        if "FFModule" in name or "ConvModule" in name:
+            if name.endswith("Dense_0/kernel"):
+                spec = right([None, "model"])
+            elif name.endswith("Dense_0/bias"):
+                spec = right(["model"])
+            elif "FFModule" in name and name.endswith("Dense_1/kernel"):
+                spec = right(["model", None])
+        elif attn:
+            if any(name.endswith(f"{p}/kernel")
+                   for p in ("q", "k", "v", "pos")):
+                spec = right([None, "model", None])
+            elif name.endswith("out/kernel"):
+                spec = right(["model", None, None])
+            elif (name.endswith("u_bias") or name.endswith("v_bias")
+                  or any(name.endswith(f"{p}/bias")
+                         for p in ("q", "k", "v"))):
+                spec = right(["model", None])
+        elif name == "classifier/kernel":
+            spec = right([None, "model"])
+        if spec is not None:
+            shape = np.shape(x)
+            for dim, s in enumerate(spec):
+                if s == "model" and shape[dim] % nmodel != 0:
+                    spec = None
+                    break
+        return P(*spec) if spec is not None else P()
+
+    return jax.tree_util.tree_map_with_path(
+        lambda p, x: NamedSharding(mesh, spec_for(p, x)), params)
+
+
 def zero1_shardings(pytree, mesh: Mesh, min_size: int = 2 ** 16):
     """ZeRO-1 sharding specs for an optimizer-state pytree: arrays larger
     than min_size are sharded along 'data' on their first axis divisible

@@ -4,10 +4,11 @@ Counterpart of the reference's Manager.save + CheckManager
 (/root/reference/cat/shared/manager.py:414-450, 719-821 — rank-0 torch
 saves with an append-only checkpoint.list index) and avgmodel.py
 (cat/utils/avgmodel.py:20-111 best-N / last-N averaging). Here checkpoints
-are host numpy pytrees (pickle), written once per eval point — under SPMD
-jit there is no per-rank consolidation step (the ZeRO gather in
-manager.py:426-429 is unnecessary: jax.device_get materializes the full
-state).
+are host numpy pytrees (pickle), written once per eval point. Multi-host:
+ZeRO-sharded leaves are not fully addressable from one process, so
+_to_host consolidates them with a process allgather before pickling (the
+reference's pre-save ZeRO gather, cat/shared/scheduler.py:50-87);
+single-process trees take the plain np.asarray path.
 """
 from __future__ import annotations
 
@@ -20,7 +21,15 @@ import jax
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(
+                multihost_utils.process_allgather(x, tiled=True))
+        return np.asarray(x)
+
+    return jax.tree_util.tree_map(get, tree)
 
 
 def save_checkpoint(path, state: dict):

@@ -42,14 +42,19 @@ class TrainState(flax.struct.PyTreeNode):
 
 class MetricLogger:
     """JSONL metric log + console (replaces the rank-0 SummaryWriter,
-    manager.py:335-345)."""
+    manager.py:335-345). Multi-host: only process 0 writes/prints —
+    every process logging to a shared filesystem would interleave."""
 
     def __init__(self, log_dir, quiet=False):
-        os.makedirs(log_dir, exist_ok=True)
+        self.primary = jax.process_index() == 0
+        if self.primary:
+            os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, "metrics.jsonl")
         self.quiet = quiet
 
     def log(self, **kv):
+        if not self.primary:
+            return
         kv["time"] = time.time()
         with open(self.path, "a") as f:
             f.write(json.dumps(
@@ -127,6 +132,16 @@ class Manager:
             "step": self.global_step,
             "steps_into_epoch": getattr(self, "_steps_into_epoch", 0),
         }
+        # multi-host: checkpoint._to_host consolidates ZeRO-sharded
+        # leaves on EVERY process (the allgather is collective), but
+        # only process 0 touches the filesystem (manager.py:414-450
+        # rank-0 save semantics)
+        if jax.process_count() > 1:
+            from cat_tpu.utils.checkpoint import _to_host
+
+            state_dict = _to_host(state_dict)
+            if jax.process_index() != 0:
+                return None
         return self.ckpt.save(state_dict, metric, self.global_step,
                               self.epoch)
 

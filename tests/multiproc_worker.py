@@ -50,9 +50,17 @@ class ToyDS:
                 np.asarray(self.labs[i], np.int32))
 
 
-def run_steps(host_index: int, host_count: int, n_steps: int = 2):
+def run_steps(host_index: int, host_count: int, n_steps: int = 2,
+              save_dir: str = None):
     """Build the toy model + loader slice and run n_steps CTC train
-    steps on a global 8-device mesh; returns the per-step losses."""
+    steps on a global 8-device mesh; returns the per-step losses.
+
+    save_dir: when set, after the steps the optimizer state is ZeRO-1
+    resharded across the global mesh, the full state is consolidated
+    (checkpoint._to_host process-allgather) and saved by process 0,
+    then reloaded on EVERY process and compared bitwise against the
+    pre-save values — the multi-host save/restore path of VERDICT r2
+    item 8 (reference pre-save gather: cat/shared/scheduler.py:50-87)."""
     import jax
 
     from cat_tpu.ctc.train import init_state, make_train_step
@@ -108,6 +116,36 @@ def run_steps(host_index: int, host_count: int, n_steps: int = 2):
             state, metrics = train_step(state, gb, jnp.float32(1e-3),
                                         jax.random.PRNGKey(7))
             losses.append(float(metrics["loss"]))
+
+    if save_dir:
+        from cat_tpu.parallel import zero1_shardings
+        from cat_tpu.utils.checkpoint import (_to_host, load_checkpoint,
+                                              save_checkpoint)
+
+        # reshard opt state ZeRO-1 (collective) so saving must gather
+        reshard = jax.jit(
+            lambda t: t,
+            out_shardings=zero1_shardings(state.opt_state, mesh,
+                                          min_size=1))
+        state = state.replace(opt_state=reshard(state.opt_state))
+        path = os.path.join(save_dir, "mp_ckpt.pt")
+        host_state = _to_host({"state": state})  # collective allgather
+        if jax.process_index() == 0:
+            save_checkpoint(path, host_state)
+        # simple shared-fs barrier: wait for the file to appear
+        import time
+
+        for _ in range(600):
+            if os.path.exists(path):
+                break
+            time.sleep(0.1)
+        ck = load_checkpoint(path)
+        ok = True
+        for a, b in zip(jax.tree_util.tree_leaves(host_state),
+                        jax.tree_util.tree_leaves(ck)):
+            if not np.array_equal(np.asarray(a), np.asarray(b)):
+                ok = False
+        print("SAVEOK" if ok else "SAVEFAIL", flush=True)
     return losses
 
 
@@ -134,7 +172,9 @@ def main():
                                process_id=proc_id)
     assert jax.process_count() == num_procs
     assert len(jax.local_devices()) == 4
-    losses = run_steps(jax.process_index(), num_procs)
+    save_dir = sys.argv[4] if len(sys.argv) > 4 else None
+    losses = run_steps(jax.process_index(), num_procs,
+                       save_dir=save_dir)
     print("LOSSES", " ".join(f"{v:.8f}" for v in losses), flush=True)
 
 

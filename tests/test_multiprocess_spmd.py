@@ -29,14 +29,14 @@ def _free_port():
 
 
 @pytest.mark.slow
-def test_two_process_losses_match_single_host():
+def test_two_process_losses_match_single_host(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     # workers set their own JAX env; strip the pytest conftest's 8-device
     # flag so each worker gets exactly 4 local devices
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, str(i), "2", str(port)],
+        [sys.executable, WORKER, str(i), "2", str(port), str(tmp_path)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=REPO, env=env) for i in range(2)]
     outs = []
@@ -56,6 +56,11 @@ def test_two_process_losses_match_single_host():
     # both processes observe the identical (replicated) global loss
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
     assert np.all(np.isfinite(l0))
+    # multi-host save/restore with ZeRO-sharded opt state: both
+    # processes consolidated + reloaded bitwise-identically, and only
+    # rank 0 wrote the file (VERDICT r2 item 8)
+    assert all("SAVEOK" in o for o in outs), outs
+    assert os.path.exists(os.path.join(str(tmp_path), "mp_ckpt.pt"))
 
     # single-process reference over the same global schedule (this pytest
     # process already runs on an 8-device virtual CPU backend)
