@@ -51,6 +51,15 @@ BATCH = int(os.environ.get("BENCH_BATCH", "96"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "1600"))  # 16 s utterances
 WARMUP = 2
 STEPS = int(os.environ.get("BENCH_STEPS", "4"))
+# BENCH_TASK=rnnt benches the transducer flagship instead (libri
+# rnnt-v1 shape: conformer 17x512 + LSTM-640 predictor + LogAdd joiner
+# -> fused simple loss, unigram-1024 vocab; VERDICT r2 item 5). The
+# anchor mirrors the CTC-CRF reasoning: the reference's warp_rnnt
+# simple-loss trainer on A100 at ~5% MFU of this config's FLOPs.
+TASK = os.environ.get("BENCH_TASK", "ctc_crf")
+RNNT_VOCAB = int(os.environ.get("BENCH_RNNT_VOCAB", "1024"))
+RNNT_LABELS = int(os.environ.get("BENCH_RNNT_LABELS", "56"))
+REF_RNNT_AUDIO_S_PER_S = 560.0
 # The tunneled chip shows large run-to-run throughput variance (2x
 # between sessions at identical shapes). Time several independent
 # trials and report the best — the hardware's capability, not the
@@ -80,6 +89,9 @@ def main():
                           1.0)
     except Exception:
         pass
+
+    if TASK == "rnnt":
+        return bench_rnnt()
 
     from cat_tpu.ctc.train import build_model, init_state, make_train_step
     from cat_tpu.fst.ngram import train_ngram
@@ -160,6 +172,79 @@ def main():
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / REF_AUDIO_S_PER_S, 3),
+    }))
+
+
+def bench_rnnt():
+    """Transducer training throughput (libri rnnt-v1 flagship shape,
+    reference egs/libri/exp/rnnt-v1 + the simple-loss variant): the
+    LogAdd joiner auto-dispatches to the fused simple loss
+    (ops/rnnt_simple.py — no (N,T,U,V) lattice), which is the
+    reference's warp_rnnt rnnt_loss_simple path."""
+    import jax
+    import jax.numpy as jnp
+
+    from cat_tpu.rnnt.train import (build_model, init_state,
+                                    make_train_step)
+    from cat_tpu.utils.scheduler import build_scheduler
+
+    model = build_model(
+        {"encoder": {"type": "ConformerNet",
+                     "kwargs": {"num_cells": NUM_CELLS, "hdim": HDIM,
+                                "num_heads": 8, "kernel_size": 32,
+                                "dropout_rate": 0.1,
+                                "dtype": "bfloat16",
+                                "scan_layers": True,
+                                "remat": True,
+                                "remat_policy": os.environ.get(
+                                    "BENCH_REMAT_POLICY",
+                                    "dots_noexpand")}},
+         "predictor": {"type": "LSTMPredictor",
+                       "kwargs": {"hdim": 640, "num_layers": 1}},
+         "joiner": {"type": os.environ.get("BENCH_JOINER", "LogAdd"),
+                    "kwargs": {}}},
+        num_classes=RNNT_VOCAB)
+    _, tx = build_scheduler({
+        "type": "SchedulerNoam",
+        "kwargs": {"dim_model": HDIM, "warmup_step": 10000,
+                   "stop_step": 100000, "peak_factor": 5.0},
+        "optimizer": {"type": "Adam",
+                      "kwargs": {"lr": 1e-3, "betas": [0.9, 0.98]}}})
+    state = init_state(model, tx, feat_dim=80)
+    train_step = make_train_step(
+        model, tx,
+        specaug_cfg=dict(num_freq_masks=2, freq_mask_width=27,
+                         num_time_masks=2, time_mask_width=100))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "feats": jnp.asarray(
+            rng.standard_normal((BATCH, FRAMES, 80)).astype(np.float32)),
+        "feat_lengths": jnp.full((BATCH,), FRAMES, jnp.int32),
+        "labels": jnp.asarray(rng.integers(
+            1, RNNT_VOCAB, (BATCH, RNNT_LABELS)).astype(np.int32)),
+        "label_lengths": jnp.full((BATCH,), RNNT_LABELS, jnp.int32),
+        "weight": jnp.ones((BATCH,), jnp.float32),
+    }
+    key = jax.random.PRNGKey(0)
+    lr = jnp.float32(1e-4)
+    for _ in range(WARMUP):
+        state, metrics = train_step(state, batch, lr, key)
+    float(metrics["loss"])
+    best_dt = float("inf")
+    for _ in range(TRIALS):
+        t0 = time.time()
+        for _ in range(STEPS):
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, batch, lr, sub)
+        float(metrics["loss"])
+        best_dt = min(best_dt, time.time() - t0)
+    value = (STEPS / best_dt) * BATCH * FRAMES * 0.01
+    print(json.dumps({
+        "metric": "audio_seconds_per_second_per_chip_rnnt_train",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / REF_RNNT_AUDIO_S_PER_S, 3),
     }))
 
 

@@ -158,6 +158,51 @@ class WfstDecoder:
             return (NEG_INF, [])
         return (float(out_score[0]), [int(w) for w in out_words[:n]])
 
+    def decode_native_nbest(self, log_probs, length, nbest=8,
+                            max_out=1024):
+        """N-best decode through the C++ K-token core
+        (wfst_decoder.cpp wfst_nbest) — the lattice-n-best role of
+        latgen-faster feeding the rescoring pipeline
+        (cat/ctc/fst_decode.sh:73-95). Returns [(score, [word_ids])]
+        best-first, deduplicated by word sequence."""
+        import ctypes
+
+        from cat_tpu.native import wfst_lib
+
+        # reuse decode_native's cached arc tables
+        if not hasattr(self, "_native_tabs"):
+            self.decode_native(np.zeros((1, 1), np.float32), 0)
+        (e_src, e_dst, e_lab, e_ol, e_w, n_src, n_dst, n_ol, n_w,
+         fw) = self._native_tabs
+        lib = wfst_lib()
+        lp = np.ascontiguousarray(np.asarray(log_probs)[: int(length)],
+                                  np.float32)
+        out_words = np.zeros((nbest, max_out), np.int32)
+        out_lens = np.zeros((nbest,), np.int32)
+        out_scores = np.zeros((nbest,), np.float32)
+
+        def p(a, ty):
+            return a.ctypes.data_as(ty)
+
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        n = lib.wfst_nbest(
+            p(e_src, i32p), p(e_dst, i32p), p(e_lab, i32p),
+            p(e_ol, i32p), p(e_w, f32p), len(e_src),
+            p(n_src, i32p), p(n_dst, i32p), p(n_ol, i32p),
+            p(n_w, f32p), len(n_src),
+            len(self.emit), self.start, p(fw, f32p),
+            p(lp, f32p), lp.shape[0], lp.shape[1],
+            ctypes.c_float(self.beam), self.max_active,
+            ctypes.c_float(self.ac_scale), nbest,
+            p(out_words, i32p), p(out_lens, i32p),
+            p(out_scores, f32p), max_out)
+        if n <= 0:
+            return []
+        return [(float(out_scores[k]),
+                 [int(w) for w in out_words[k, : out_lens[k]]])
+                for k in range(n)]
+
     def decode(self, log_probs, length, nbest=1):
         """log_probs: (T, V) AM outputs. Returns list of
         (score, [word_ids]) best-first."""

@@ -47,5 +47,15 @@ def wfst_lib():
             ctypes.c_float, ctypes.c_int32, ctypes.c_float,  # beam...
             i32p, ctypes.c_int32, f32p,                      # outputs
         ]
+        lib.wfst_nbest.restype = ctypes.c_int
+        lib.wfst_nbest.argtypes = [
+            i32p, i32p, i32p, i32p, f32p, ctypes.c_int32,   # emit arcs
+            i32p, i32p, i32p, f32p, ctypes.c_int32,          # eps arcs
+            ctypes.c_int32, ctypes.c_int32, f32p,            # states
+            f32p, ctypes.c_int32, ctypes.c_int32,            # logprobs
+            ctypes.c_float, ctypes.c_int32, ctypes.c_float,  # beam...
+            ctypes.c_int32,                                  # K
+            i32p, i32p, f32p, ctypes.c_int32,                # outputs
+        ]
         _wfst_lib = lib
     return _wfst_lib

@@ -762,11 +762,10 @@ def stage_decode(expdir, hyper, config, tok):
                            for seq in greedy_decode(lp, olens)]
             elif mode == "wfst":
                 lp_np, ol_np = np.asarray(lp), np.asarray(olens)
-                # 1-best goes through the C++ token-passing core when
-                # it builds (latgen-faster role, ~10-30x the python
-                # decoder); n-best needs backpointer sets -> python
-                use_native = nbest_n == 1 and dec_cfg.get(
-                    "native", True)
+                # both 1-best and n-best route through the C++
+                # token-passing core when it builds (latgen-faster
+                # role; K-token n-best for the rescoring pipeline)
+                use_native = dec_cfg.get("native", True)
                 if use_native:
                     try:
                         from cat_tpu.native import wfst_lib
@@ -778,9 +777,12 @@ def stage_decode(expdir, hyper, config, tok):
                     if w[n] <= 0:
                         per_utt.append([(0.0, [])])
                         continue
-                    if use_native:
+                    if use_native and nbest_n == 1:
                         hyp = [wfst_dec.decode_native(lp_np[n],
                                                       ol_np[n])]
+                    elif use_native:
+                        hyp = wfst_dec.decode_native_nbest(
+                            lp_np[n], ol_np[n], nbest=nbest_n)
                     else:
                         hyp = wfst_dec.decode(lp_np[n], ol_np[n],
                                               nbest=nbest_n)

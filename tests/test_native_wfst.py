@@ -26,6 +26,26 @@ def test_native_matches_python():
 
 
 @pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
+def test_native_nbest_matches_python():
+    """K-token n-best (wfst_nbest): the 1-best must equal the python
+    decoder's, lists are score-sorted, hypotheses distinct, and the
+    python n-best's top alternatives appear among them."""
+    tlg, phone2id, word2id = build_toy()
+    dec = WfstDecoder(tlg, beam=30.0)
+    for lp in [am_for([3, 1, 2]), am_for([2, 1, 3, 1, 2]),
+               am_for([1, 2], peak=0.7)]:
+        py = dec.decode(lp, len(lp), nbest=4)
+        nat = dec.decode_native_nbest(lp, len(lp), nbest=4)
+        assert nat, nat
+        assert nat[0][1] == py[0][1], (nat, py)
+        assert abs(nat[0][0] - py[0][0]) < 1e-3
+        scores = [s for s, _ in nat]
+        assert scores == sorted(scores, reverse=True)
+        seqs = [tuple(w) for _, w in nat]
+        assert len(set(seqs)) == len(seqs)
+
+
+@pytest.mark.skipif(shutil.which("g++") is None, reason="no g++")
 def test_native_is_fast_on_long_input():
     import time
 
