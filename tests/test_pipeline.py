@@ -214,9 +214,12 @@ def test_pipeline_yesno_rnnt_cuside(yesno_data_big, tmp_path):
     from config, then decode the SAME model in both streaming (chunked
     encode) and full-context mode with a bounded gap."""
     yesno_data = yesno_data_big
+    # beta: small per-emission reward counters the under-emission bias
+    # of an undertrained transducer (cat/rnnt/decode.py beta option)
     hyper = base_hyper(yesno_data, train_bin="cat_tpu.rnnt.train_unified",
-                       opts={"max_epochs": 150},
-                       decode={"mode": "streaming", "beam_width": 2})
+                       opts={"max_epochs": 250},
+                       decode={"mode": "streaming", "beam_width": 4,
+                               "beta": 0.6})
     config = {
         "encoder": ENC,
         "predictor": {"type": "LSTMPredictor",
@@ -235,7 +238,8 @@ def test_pipeline_yesno_rnnt_cuside(yesno_data_big, tmp_path):
     hyper_full = dict(hyper)
     hyper_full["inference"] = {"split": "dev",
                                "decode": {"mode": "beam",
-                                          "beam_width": 2}}
+                                          "beam_width": 4,
+                                          "beta": 0.6}}
     from cat_tpu.pipeline import asr
     cfg = json.loads((tmp_path / "exp" / "config.json").read_text())
     from cat_tpu.utils import tokenizer as tknz
