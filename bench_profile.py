@@ -52,8 +52,10 @@ def main():
                                 "use_batchnorm": BATCHNORM,
                                 "dtype": "bfloat16",
                                 "scan_layers": True, "remat": REMAT,
+                                # default matches bench.py's flagship
                                 "remat_policy": os.environ.get(
-                                    "BENCH_REMAT_POLICY", "")}}},
+                                    "BENCH_REMAT_POLICY",
+                                    "dots_noexpand")}}},
         num_classes=VOCAB)
     _, tx = build_scheduler({
         "type": "SchedulerNoam",

@@ -241,9 +241,15 @@ class ConformerNet(nn.Module):
             sub_cls = Conv2dSubsampling
             if self.remat:
                 # the subsampling activations dominate peak HBM
-                # (largest single allocation of a train step) — always
-                # recompute them in the backward pass under remat
-                sub_cls = nn.remat(Conv2dSubsampling)
+                # (largest single allocation of a train step: conv_a's
+                # (N, T/2, F/2, D)) — recompute them in the backward
+                # pass under remat. Save conv_b's 4x-smaller output so
+                # only the cheap 1-input-channel conv_a is recomputed
+                # (conv_b alone is ~3.4 TFLOP at the flagship shape).
+                sub_cls = nn.remat(
+                    Conv2dSubsampling,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "sub_conv_b"))
             h, lengths = sub_cls(self.hdim, dtype=dtype,
                                  time_chunk=self.subsampling_chunk)(
                 x, lengths)
@@ -275,6 +281,15 @@ class ConformerNet(nn.Module):
                     dots_noexpand_saveable,
                     jax.checkpoint_policies.save_only_these_names(
                         "flash_attn", "flash_attn_lse"))
+            elif self.remat_policy == "dots_noexpand_conv":
+                # dots_noexpand + the depthwise-conv output: the conv is
+                # conv_general_dilated (not a dot_general), so the dots
+                # policies recompute it and the whole GLU chain feeding
+                # it in the backward pass; +39 MB/cell buys that back
+                policy = jax.checkpoint_policies.save_from_both_policies(
+                    dots_noexpand_saveable,
+                    jax.checkpoint_policies.save_only_these_names(
+                        "flash_attn", "flash_attn_lse", "conv_dw"))
             # static_argnums counts the module itself at 0 in flax's
             # lifted core_fn, so `deterministic` is position 3
             cell_cls = nn.remat(ConformerCell, static_argnums=(3,),

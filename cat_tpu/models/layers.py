@@ -78,6 +78,13 @@ class Conv2dSubsampling(nn.Module):
         h = nn.Conv(self.odim, (3, 3), strides=(2, 2), padding="VALID",
                     dtype=self.dtype, name="conv_b")(h)
         h = nn.relu(h)
+        # conv_b is ~3.4 TFLOP at the flagship shape (3x3 x odim x odim
+        # at T/4 x F/4) — under full remat it is recomputed in the
+        # backward pass. Naming its (much smaller than conv_a's) output
+        # lets the encoder remat it with a save-this-name policy:
+        # recompute only the cheap 1-input-channel conv_a.
+        from jax.ad_checkpoint import checkpoint_name
+        h = checkpoint_name(h, "sub_conv_b")
         N, Tp = h.shape[0], h.shape[1]
         h = h.reshape(N, Tp, -1)
         return nn.Dense(self.odim, dtype=self.dtype, name="proj")(h)
@@ -335,6 +342,12 @@ class ConvModule(nn.Module):
         h = nn.Conv(self.d_model, (k,), padding=pad,
                     feature_group_count=self.d_model,
                     dtype=self.dtype)(h)
+        # depthwise conv is conv_general_dilated, NOT a dot_general — the
+        # "dots" remat policies recompute it (and the GLU chain feeding
+        # it) in the backward pass. Name it so policies can save it
+        # ((N, T', D) bf16 ≈ 39 MB/cell at the flagship shape).
+        from jax.ad_checkpoint import checkpoint_name
+        h = checkpoint_name(h, "conv_dw")
         h = h.astype(jnp.float32)
         if self.use_batchnorm:
             # masked batch statistics over (batch, time)

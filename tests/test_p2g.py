@@ -38,9 +38,11 @@ def trained():
     rng = np.random.default_rng(0)
     model = tiny_model()
     b0 = make_batch(rng)
+    # state.params holds BARE params (framework convention); functions
+    # taking `params` below expect the full {"params": ...} variables
     params = jax.jit(model.init)(jax.random.PRNGKey(0), b0["src"],
                                  b0["src_lens"], b0["tgt_in"],
-                                 b0["tgt_lens"])
+                                 b0["tgt_lens"])["params"]
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=3e-3)
     state = TrainState(params=params, batch_stats={},
                        opt_state=tx.init(params), step=jnp.asarray(0))
@@ -59,7 +61,7 @@ def test_ce_training_learns_copy(trained):
     model, state = trained
     rng = np.random.default_rng(99)
     b = make_batch(rng, n=8)
-    toks, lens = greedy_generate(model, state.params, b["src"],
+    toks, lens = greedy_generate(model, {"params": state.params}, b["src"],
                                  b["src_lens"], bos=0, eos=EOS,
                                  max_len=U)
     toks = np.asarray(toks)
@@ -74,10 +76,10 @@ def test_tkm_equals_ce_for_k1(trained):
     model, state = trained
     rng = np.random.default_rng(5)
     b = make_batch(rng, n=4)
-    logits = model.apply(state.params, b["src"], b["src_lens"],
+    logits = model.apply({"params": state.params}, b["src"], b["src_lens"],
                          b["tgt_in"], b["tgt_lens"])
     ce = -seq_logp(logits, b["tgt_out"], b["tgt_lens"])
-    nll = tkm_loss(model, state.params, b["src"][:, None],
+    nll = tkm_loss(model, {"params": state.params}, b["src"][:, None],
                    b["src_lens"][:, None],
                    jnp.zeros((4, 1)), b["tgt_in"], b["tgt_out"],
                    b["tgt_lens"])
@@ -94,9 +96,9 @@ def test_tkm_marginalizes_over_candidates(trained):
     cands = jnp.stack([b["src"], corrupt], axis=1)
     clens = jnp.stack([b["src_lens"], b["src_lens"]], axis=1)
     scores = jnp.zeros((4, 2))
-    nll_m = tkm_loss(model, state.params, cands, clens, scores,
+    nll_m = tkm_loss(model, {"params": state.params}, cands, clens, scores,
                      b["tgt_in"], b["tgt_out"], b["tgt_lens"])
-    logits = model.apply(state.params, b["src"], b["src_lens"],
+    logits = model.apply({"params": state.params}, b["src"], b["src_lens"],
                          b["tgt_in"], b["tgt_lens"])
     nll_true = -seq_logp(logits, b["tgt_out"], b["tgt_lens"])
     # marginal ≥ p(y|x_true)/2 → nll_m ≤ nll_true + log 2; and the
@@ -118,7 +120,7 @@ def test_tkm_train_step_runs(trained):
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), b["src"],
                                  b["src_lens"], b["tgt_in"],
-                                 b["tgt_lens"])
+                                 b["tgt_lens"])["params"]
     state = TrainState(params=params, batch_stats={},
                        opt_state=tx.init(params), step=jnp.asarray(0))
     step = make_train_step(model, tx, mode="tkm", t_weight=1.5)
@@ -145,7 +147,7 @@ def test_marginalized_rescore_prefers_truth(trained):
     hyps = jnp.stack([b["tgt_out"], wrong], axis=1)
     hyp_lens = jnp.stack([b["tgt_lens"], b["tgt_lens"]], axis=1)
     scores = marginalized_rescore(
-        model, state.params, b["src"][:, None], b["src_lens"][:, None],
+        model, {"params": state.params}, b["src"][:, None], b["src_lens"][:, None],
         jnp.zeros((4, 1)), hyps, hyp_lens, bos=0)
     s = np.asarray(scores)
     assert (s[:, 0] > s[:, 1]).mean() >= 0.75
