@@ -294,7 +294,9 @@ class ConformerNet(nn.Module):
             # lifted core_fn, so `deterministic` is position 3
             cell_cls = nn.remat(ConformerCell, static_argnums=(3,),
                                 policy=policy)
-        if self.scan_layers and self.time_reduction_layer < 0:
+        if self.num_cells == 0:
+            pass  # subsampling-only (profiling / ablation configs)
+        elif self.scan_layers and self.time_reduction_layer < 0:
             cell = cell_cls(**cell_kw, name="cells")
 
             def body(mdl, carry, lens, det):

@@ -215,9 +215,8 @@ class RelPositionMultiHeadAttention(nn.Module):
         q = dense("q")(xc)
         k = dense("k")(xc)
         v = dense("v")(xc)
-        p = nn.DenseGeneral((H, Dh), use_bias=False, dtype=self.dtype,
-                            name="pos")(
-            rel_positional_encoding(T, D, self.dtype))  # (2T-1, H, Dh)
+        pos_dense = nn.DenseGeneral((H, Dh), use_bias=False,
+                                    dtype=self.dtype, name="pos")
 
         u_bias = self.param("u_bias", nn.initializers.zeros, (H, Dh))
         v_bias = self.param("v_bias", nn.initializers.zeros, (H, Dh))
@@ -238,16 +237,34 @@ class RelPositionMultiHeadAttention(nn.Module):
             # fused Pallas path: scores/softmax/dropout/value contraction
             # all in VMEM tiles — no (N, H, T, ~T) tensor ever reaches
             # HBM (ops/attention_pallas.py)
-            from cat_tpu.ops.attention_pallas import flash_relpos_attention
             rate = 0.0 if deterministic else float(self.dropout_rate)
             seed = None
             if rate > 0.0:
                 from cat_tpu.ops.dropout_pallas import key_to_seed
                 seed = key_to_seed(self.make_rng("dropout"))
-            out = flash_relpos_attention(
-                q, k, v, p, u_bias, v_bias, mask,
-                scale=1.0 / float(np.sqrt(Dh)), dropout_rate=rate,
-                seed=seed, interpret=(flash == "interpret"))
+            decomp = resolve("flash_attn_decomp") and T <= 512
+            if decomp:
+                # shear-free variant: fold the sinusoid basis into trig
+                # tables so rel-pos scores become one MXU matmul (the
+                # kernel consumes the "pos" projection kernel directly;
+                # dense(eye) == its kernel, keeping the param structure
+                # identical across paths)
+                from cat_tpu.ops.attention_pallas import \
+                    flash_relpos_attention_decomp
+                w = pos_dense(jnp.eye(D, dtype=self.dtype))  # (D, H, Dh)
+                out = flash_relpos_attention_decomp(
+                    q, k, v, w, u_bias, v_bias, mask,
+                    scale=1.0 / float(np.sqrt(Dh)), dropout_rate=rate,
+                    seed=seed, interpret=(flash == "interpret"))
+            else:
+                from cat_tpu.ops.attention_pallas import \
+                    flash_relpos_attention
+                p = pos_dense(
+                    rel_positional_encoding(T, D, self.dtype))
+                out = flash_relpos_attention(
+                    q, k, v, p, u_bias, v_bias, mask,
+                    scale=1.0 / float(np.sqrt(Dh)), dropout_rate=rate,
+                    seed=seed, interpret=(flash == "interpret"))
             # under remat, save the kernel output instead of re-running
             # the fused forward in the backward pass (the encoders'
             # dots_noexpand policy also saves this name): ~11 ms/cell
@@ -259,6 +276,7 @@ class RelPositionMultiHeadAttention(nn.Module):
             out = nn.DenseGeneral(D, axis=(-2, -1), dtype=self.dtype,
                                   name="out")(out.astype(self.dtype))
             return out.astype(x.dtype)
+        p = pos_dense(rel_positional_encoding(T, D, self.dtype))
         ac = jnp.einsum("nthd,nshd->nhts", q + u_bias, k,
                         preferred_element_type=jnp.float32)
         # the (N, H, T, 2T-1) bd table is the largest attention tensor;

@@ -338,6 +338,327 @@ def _bwd_kernel_single(seed_ref, q_ref, k_ref, v_ref, p_ref, kb_ref,
         dvb_ref[...] = dvbs_ref[...].reshape(dvb_ref.shape)
 
 
+def _decomp_tables(Tp, D):
+    """Trig tables for the shear-free rel-pos decomposition.
+
+    With the standard sinusoid basis pe(d)[2f] = sin(w_f d),
+    pe(d)[2f+1] = cos(w_f d) (w_f = 10000^(-2f/D)) and the projected
+    table p[m] = pe(t-s) @ W, the rel-pos scores factorize by the angle
+    addition formulas:
+
+        bd[t, s] = r(t) . pe(t-s) = U(t) . V(s),   r(t) = qv_t @ W^T
+
+    where U[t] is an elementwise combination of r(t) with sin/cos(w t)
+    and V[s] = [cos(w_f s), sin(w_f s)]. This replaces the kernel's
+    diagonal-band shear (log2(b) masked lane rolls of a (b, 2b) f32
+    tile — ~33% of kernel time) with one MXU matmul and two single-lane
+    rolls. Returns (A, B, C, V) with
+        U = r*A + rollL(r)*B + rollR(r)*C
+    (rollL[m] = r[m+1], rollR[m] = r[m-1]; the circular wrap hits only
+    zero entries of B/C)."""
+    t = np.arange(Tp)[:, None].astype(np.float64)
+    w = np.exp(np.arange(0, D, 2) * (-np.log(10000.0) / D))
+    sin_t, cos_t = np.sin(t * w), np.cos(t * w)  # (Tp, D/2)
+    A = np.zeros((Tp, D), np.float32)
+    B = np.zeros((Tp, D), np.float32)
+    C = np.zeros((Tp, D), np.float32)
+    V = np.zeros((Tp, D), np.float32)
+    A[:, 0::2] = sin_t
+    A[:, 1::2] = sin_t
+    B[:, 0::2] = cos_t            # U[2f] += r[2f+1] * cos
+    C[:, 1::2] = -cos_t           # U[2f+1] += r[2f] * (-cos)
+    V[:, 0::2] = cos_t
+    V[:, 1::2] = sin_t
+    return A, B, C, V
+
+
+def _build_u(r, a, b, c, D):
+    rollL = pltpu.roll(r, D - 1, axis=1)   # rollL[m] = r[m+1]
+    rollR = pltpu.roll(r, 1, axis=1)       # rollR[m] = r[m-1]
+    return r * a + rollL * b + rollR * c
+
+
+def _fwd_kernel_decomp(seed_ref, q_ref, k_ref, v_ref, w_ref, a_ref,
+                       b_ref, c_ref, vt_ref, kb_ref, ub_ref, vb_ref,
+                       o_ref, lse_ref, *, scale, rate, H, b, D):
+    """Whole-sequence tile, shear-free rel-pos (see _decomp_tables)."""
+    n, h = pl.program_id(0), pl.program_id(1)
+    q = q_ref[0, 0]                 # (b, Dh)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    w = w_ref[0]                    # (Dh, D)
+    ub = ub_ref[0].astype(q.dtype)  # (1, Dh)
+    vb = vb_ref[0].astype(q.dtype)
+
+    s = jax.lax.dot_general(q + ub, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    r = jax.lax.dot_general(q + vb, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (b, D)
+    u = _build_u(r, a_ref[...].astype(jnp.float32),
+                 b_ref[...].astype(jnp.float32),
+                 c_ref[...].astype(jnp.float32), D)
+    bd = jax.lax.dot_general(u.astype(vt_ref.dtype), vt_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s = (s + bd) * scale + kb_ref[0, 0][None, :]
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0],
+                        _tile_seed(seed_ref, n, h, 0, 0, H, 1, 1))
+        keep = _dropout_keep(e.shape, _thr(rate))
+        e = jnp.where(keep, e * (1.0 / (1.0 - rate)), 0.0)
+    acc = jax.lax.dot_general(e.astype(v.dtype), v,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[...] = jnp.reshape(m + jnp.log(jnp.maximum(l, 1e-30)),
+                               (1, 1, 1, b))
+
+
+def _bwd_kernel_decomp(seed_ref, q_ref, k_ref, v_ref, w_ref, a_ref,
+                       b_ref, c_ref, vt_ref, kb_ref, ub_ref, vb_ref,
+                       lse_ref, do_ref, dd_ref,
+                       dq_ref, dk_ref, dv_ref, dw_ref, dub_ref, dvb_ref,
+                       dws_ref, dubs_ref, dvbs_ref,
+                       *, scale, rate, H, b, D):
+    h, n = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(n == 0)
+    def _init_p():
+        dws_ref[...] = jnp.zeros_like(dws_ref)
+        dubs_ref[...] = jnp.zeros_like(dubs_ref)
+        dvbs_ref[...] = jnp.zeros_like(dvbs_ref)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    w = w_ref[0]
+    ub = ub_ref[0].astype(q.dtype)
+    vb = vb_ref[0].astype(q.dtype)
+    qu = q + ub
+    qv = q + vb
+
+    a = a_ref[...].astype(jnp.float32)
+    b_t = b_ref[...].astype(jnp.float32)
+    c = c_ref[...].astype(jnp.float32)
+    s = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    r = jax.lax.dot_general(qv, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = _build_u(r, a, b_t, c, D)
+    bd = jax.lax.dot_general(u.astype(vt_ref.dtype), vt_ref[...],
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    s = (s + bd) * scale + kb_ref[0, 0][None, :]
+    p_ = jnp.exp(s - lse_ref[0, 0, 0][:, None])          # (b, b)
+
+    dpmat = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0],
+                        _tile_seed(seed_ref, n, h, 0, 0, H, 1, 1))
+        keep = _dropout_keep(p_.shape, _thr(rate))
+        inv = 1.0 / (1.0 - rate)
+        p_drop = jnp.where(keep, p_ * inv, 0.0)
+        dpmat = jnp.where(keep, dpmat * inv, 0.0)
+    else:
+        p_drop = p_
+    dv_ref[0, 0] = jax.lax.dot_general(
+        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    ds = p_ * (dpmat - dd_ref[0, 0, 0][:, None]) * scale
+    dsl = ds.astype(k.dtype)
+    dqu = jax.lax.dot_general(dsl, k, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dk_ref[0, 0] = jax.lax.dot_general(
+        dsl, qu, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    # bd path: dU = ds @ V; dr = adjoint of _build_u; dqv = dr @ w^T
+    du = jax.lax.dot_general(dsl, vt_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dr = (du * a
+          + pltpu.roll(du * b_t, 1, axis=1)        # dr[m+1] += du[m]*B[m]
+          + pltpu.roll(du * c, D - 1, axis=1))     # dr[m-1] += du[m]*C[m]
+    drl = dr.astype(w.dtype)
+    dqv = jax.lax.dot_general(drl, w, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = (dqu + dqv).astype(dq_ref.dtype)
+    dws_ref[...] += jax.lax.dot_general(
+        qv.astype(jnp.float32), dr, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dubs_ref[...] += jnp.sum(dqu, axis=0, keepdims=True)
+    dvbs_ref[...] += jnp.sum(dqv, axis=0, keepdims=True)
+
+    @pl.when(n == pl.num_programs(1) - 1)
+    def _flush():
+        dw_ref[0] = dws_ref[...]
+        dub_ref[...] = dubs_ref[...].reshape(dub_ref.shape)
+        dvb_ref[...] = dvbs_ref[...].reshape(dvb_ref.shape)
+
+
+def _pallas_fwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed, scale,
+                       rate, interpret):
+    N, H, Tp, Dh = q.shape
+    D = w.shape[-1]
+    a, b_t, c, vt = tabs
+    kernel = functools.partial(_fwd_kernel_decomp, scale=scale,
+                               rate=rate, H=H, b=Tp, D=D)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(N, H),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
+            pl.BlockSpec((1, Dh, D), lambda n, h: (h, 0, 0)),
+            pl.BlockSpec((Tp, D), lambda n, h: (0, 0)),
+            pl.BlockSpec((Tp, D), lambda n, h: (0, 0)),
+            pl.BlockSpec((Tp, D), lambda n, h: (0, 0)),
+            pl.BlockSpec((Tp, D), lambda n, h: (0, 0)),
+            pl.BlockSpec((1, 1, Tp), lambda n, h: (n, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda n, h: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda n, h: (h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Tp), lambda n, h: (n, h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((N, H, 1, Tp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed, q, k, v, w, a, b_t, c, vt, kbias, ub, vb)
+    return o, lse
+
+
+def _pallas_bwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed, lse, do,
+                       dd, scale, rate, interpret):
+    N, H, Tp, Dh = q.shape
+    D = w.shape[-1]
+    a, b_t, c, vt = tabs
+    kernel = functools.partial(_bwd_kernel_decomp, scale=scale,
+                               rate=rate, H=H, b=Tp, D=D)
+    f32 = jnp.float32
+    dq, dk, dv, dw, dub, dvb = pl.pallas_call(
+        kernel,
+        grid=(H, N),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, Dh, D), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((Tp, D), lambda h, n: (0, 0)),
+            pl.BlockSpec((Tp, D), lambda h, n: (0, 0)),
+            pl.BlockSpec((Tp, D), lambda h, n: (0, 0)),
+            pl.BlockSpec((Tp, D), lambda h, n: (0, 0)),
+            pl.BlockSpec((1, 1, Tp), lambda h, n: (n, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Tp), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Tp), lambda h, n: (n, h, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((1, Dh, D), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
+            jax.ShapeDtypeStruct((H, Dh, D), f32),
+            jax.ShapeDtypeStruct((H, 1, Dh), f32),
+            jax.ShapeDtypeStruct((H, 1, Dh), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Dh, D), f32),
+                        pltpu.VMEM((1, Dh), f32),
+                        pltpu.VMEM((1, Dh), f32)],
+        interpret=interpret,
+    )(seed, q, k, v, w, a, b_t, c, vt, kbias, ub, vb, lse, do, dd)
+    return dq, dk, dv, dw, dub, dvb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _flash_core_decomp(q, k, v, w, tabs, kbias, ub, vb, seed, scale,
+                       rate, interpret):
+    o, _ = _pallas_fwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed,
+                              scale, rate, interpret)
+    return o
+
+
+def _flash_core_decomp_fwd(q, k, v, w, tabs, kbias, ub, vb, seed, scale,
+                           rate, interpret):
+    o, lse = _pallas_fwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed,
+                                scale, rate, interpret)
+    from jax.ad_checkpoint import checkpoint_name
+    o = checkpoint_name(o, "flash_attn")
+    lse = checkpoint_name(lse, "flash_attn_lse")
+    return o, (q, k, v, w, tabs, kbias, ub, vb, seed, o, lse)
+
+
+def _flash_core_decomp_bwd(scale, rate, interpret, res, g):
+    q, k, v, w, tabs, kbias, ub, vb, seed, o, lse = res
+    dd = jnp.sum(g.astype(jnp.float32) * o.astype(jnp.float32),
+                 axis=-1)[:, :, None, :]
+    dq, dk, dv, dw, dub, dvb = _pallas_bwd_decomp(
+        q, k, v, w, tabs, kbias, ub, vb, seed, lse, g.astype(q.dtype),
+        dd, scale, rate, interpret)
+    return (dq, dk, dv, dw.astype(w.dtype), (None,) * 4, None,
+            dub.astype(ub.dtype), dvb.astype(vb.dtype), None)
+
+
+_flash_core_decomp.defvjp(_flash_core_decomp_fwd, _flash_core_decomp_bwd)
+
+
+def flash_relpos_attention_decomp(q, k, v, w, u_bias, v_bias, kmask, *,
+                                  scale=None, dropout_rate=0.0,
+                                  seed=None, interpret=False):
+    """Shear-free fused rel-pos attention (single whole-sequence tile).
+
+    Same contract as flash_relpos_attention but takes the pos-projection
+    kernel `w: (D, H, Dh)` (the DenseGeneral "pos" kernel) instead of
+    the projected table p — the sinusoid basis is folded into static
+    trig tables (see _decomp_tables), so the rel-pos scores become one
+    MXU matmul per tile and the gradient w.r.t. w is returned exactly.
+    Requires the standard rel_positional_encoding basis for d_model = D.
+    """
+    N, T, H, Dh = q.shape
+    D = w.shape[0]
+    assert D % 2 == 0
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(Dh))
+    if seed is None:
+        seed = jnp.zeros((2,), jnp.int32)
+    Tp = _round_up(T, 128)
+
+    def prep(x):  # (N, T, H, Dh) -> (N, H, Tp, Dh)
+        x = jnp.transpose(x, (0, 2, 1, 3))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T), (0, 0)))
+
+    kb = jnp.where(
+        jnp.pad(kmask, ((0, 0), (0, Tp - T))), 0.0,
+        NEG).astype(jnp.float32)[:, None, :]
+    a, b_t, c, vt = (jnp.asarray(x) for x in _decomp_tables(Tp, D))
+    tabs = (a.astype(q.dtype), b_t.astype(q.dtype),
+            c.astype(q.dtype), vt.astype(q.dtype))
+    wk = jnp.transpose(w, (1, 2, 0))  # (H, Dh, D)
+    o = _flash_core_decomp(
+        prep(q), prep(k), prep(v), wk, tabs, kb,
+        u_bias[:, None, :], v_bias[:, None, :], seed,
+        float(scale), float(dropout_rate), interpret)
+    return jnp.transpose(o[:, :, :T, :], (0, 2, 1, 3))
+
+
 def _pallas_fwd_single(q, k, v, pp, kbias, ub, vb, seed, scale, rate,
                        interpret):
     N, H, Tp, Dh = q.shape

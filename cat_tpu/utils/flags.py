@@ -19,6 +19,9 @@ _FLAGS: dict = {}
 _DEFAULTS = {
     "fused_dropout": "auto",   # auto: Pallas kernel on TPU, flax off-TPU
     "flash_attn": "auto",      # auto: fused rel-pos attention on TPU
+    # shear-free rel-pos decomposition inside the flash kernel (trig
+    # tables + one MXU matmul instead of lane-roll shears)
+    "flash_attn_decomp": "auto",
     # round-2 on-chip A/B (bench shapes): pallas CTC grad 5.8 ms vs
     # scan 9.1 ms; pallas RNN-T grad 9.1 vs 9.6 — default on for TPU
     "ctc_impl": "auto",        # auto: pallas on TPU, XLA scan elsewhere

@@ -126,3 +126,94 @@ def test_forward_tiled_path_large_T():
     np.testing.assert_allclose(np.where(qvalid, np.asarray(out), 0.0),
                                np.where(qvalid, np.asarray(ref), 0.0),
                                rtol=2e-4, atol=3e-5)
+
+
+# ---- shear-free decomposition kernel (flash_relpos_attention_decomp) ----
+
+from cat_tpu.ops.attention_pallas import flash_relpos_attention_decomp
+
+
+def _w_inputs(N, T, H, Dh, D, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((N, T, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((N, T, H, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((N, T, H, Dh)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((D, H, Dh)) * 0.2, jnp.float32)
+    u = jnp.asarray(rng.standard_normal((H, Dh)) * 0.1, jnp.float32)
+    vb = jnp.asarray(rng.standard_normal((H, Dh)) * 0.1, jnp.float32)
+    lengths = rng.integers(max(1, T // 2), T + 1, size=N)
+    lengths[0] = T
+    kmask = jnp.arange(T)[None, :] < jnp.asarray(lengths)[:, None]
+    return q, k, v, w, u, vb, kmask
+
+
+def _p_of_w(w, T):
+    from cat_tpu.models.layers import rel_positional_encoding
+    pe = rel_positional_encoding(T, w.shape[0])        # (2T-1, D)
+    return jnp.einsum("md,dhe->mhe", pe, w)            # (2T-1, H, Dh)
+
+
+@pytest.mark.parametrize("N,T,H,Dh,D", [
+    (2, 50, 2, 32, 64),
+    (2, 200, 2, 64, 128),
+    (1, 128, 4, 32, 256),
+])
+def test_decomp_forward_matches_reference(N, T, H, Dh, D):
+    q, k, v, w, u, vb, kmask = _w_inputs(N, T, H, Dh, D)
+    ref = relpos_attention_reference(q, k, v, _p_of_w(w, T), u, vb,
+                                     kmask)
+    out = flash_relpos_attention_decomp(q, k, v, w, u, vb, kmask,
+                                        interpret=True)
+    qvalid = np.asarray(kmask)[:, :, None, None]
+    np.testing.assert_allclose(np.where(qvalid, np.asarray(out), 0.0),
+                               np.where(qvalid, np.asarray(ref), 0.0),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_decomp_grads_match_reference():
+    N, T, H, Dh, D = 2, 200, 2, 64, 128
+    q, k, v, w, u, vb, kmask = _w_inputs(N, T, H, Dh, D, seed=3)
+    wt = jnp.asarray(
+        np.random.default_rng(1).standard_normal((N, T, H, Dh)),
+        jnp.float32) * kmask[:, :, None, None]
+
+    def loss_ref(args):
+        q, k, v, w, u, vb = args
+        return jnp.sum(relpos_attention_reference(
+            q, k, v, _p_of_w(w, T), u, vb, kmask) * wt)
+
+    def loss_ker(args):
+        q, k, v, w, u, vb = args
+        return jnp.sum(flash_relpos_attention_decomp(
+            q, k, v, w, u, vb, kmask, interpret=True) * wt)
+
+    args = (q, k, v, w, u, vb)
+    g_ref = jax.grad(loss_ref)(args)
+    g_ker = jax.grad(loss_ker)(args)
+    for gr, gk, name in zip(g_ref, g_ker, "q k v w u vb".split()):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_layer_integration_decomp():
+    """Layer with decomp forced (interpret) matches the stock XLA path."""
+    import os
+    from cat_tpu.models.layers import (RelPositionMultiHeadAttention,
+                                       length_mask)
+    N, T, D, H = 2, 70, 64, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    lengths = jnp.asarray([T, T - 17])
+    mask = length_mask(lengths, T)
+    mod = RelPositionMultiHeadAttention(num_heads=H, d_model=D)
+    params = mod.init(jax.random.PRNGKey(0), x, mask)
+    ref = mod.apply(params, x, mask)
+    os.environ["CAT_TPU_FLASH_ATTN"] = "interpret"
+    os.environ["CAT_TPU_FLASH_ATTN_DECOMP"] = "interpret"
+    try:
+        out = mod.apply(params, x, mask)
+    finally:
+        os.environ.pop("CAT_TPU_FLASH_ATTN")
+        os.environ.pop("CAT_TPU_FLASH_ATTN_DECOMP")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
