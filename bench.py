@@ -47,7 +47,7 @@ REF_AUDIO_S_PER_S = 600.0
 NUM_CELLS = int(os.environ.get("BENCH_CELLS", "17"))
 HDIM = int(os.environ.get("BENCH_HDIM", "512"))
 VOCAB = 72
-BATCH = int(os.environ.get("BENCH_BATCH", "96"))
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 FRAMES = int(os.environ.get("BENCH_FRAMES", "1600"))  # 16 s utterances
 WARMUP = 2
 STEPS = int(os.environ.get("BENCH_STEPS", "4"))
@@ -111,9 +111,13 @@ def main():
                                 # save MXU outputs except the expanding
                                 # FF/GLU ones: fastest policy that fits
                                 # batch 96 (see encoders.py)
+                                # round-3: save only the flash-
+                                # attention outputs; recompute
+                                # projections (fewer stacked scan
+                                # residuals, ~4 GB freed -> batch 128)
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY",
-                                    "dots_noexpand"),
+                                    "flash_only"),
                                 "subsampling_chunk": int(os.environ.get(
                                     "BENCH_SUB_CHUNK", "0"))}}},
         num_classes=VOCAB)
@@ -198,7 +202,7 @@ def bench_rnnt():
                                 "remat": True,
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY",
-                                    "dots_noexpand")}},
+                                    "flash_only")}},
          "predictor": {"type": "LSTMPredictor",
                        "kwargs": {"hdim": 640, "num_layers": 1}},
          "joiner": {"type": os.environ.get("BENCH_JOINER", "LogAdd"),

@@ -55,7 +55,7 @@ def main():
                                 # default matches bench.py's flagship
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY",
-                                    "dots_noexpand")}}},
+                                    "flash_only")}}},
         num_classes=VOCAB)
     _, tx = build_scheduler({
         "type": "SchedulerNoam",

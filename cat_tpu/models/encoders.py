@@ -281,6 +281,15 @@ class ConformerNet(nn.Module):
                     dots_noexpand_saveable,
                     jax.checkpoint_policies.save_only_these_names(
                         "flash_attn", "flash_attn_lse"))
+            elif self.remat_policy == "flash_only":
+                # leanest residual set: keep only the fused attention
+                # kernel outputs and recompute every projection in the
+                # backward pass. Trades ~6 cheap MXU matmuls of
+                # recompute per cell against ~6 fewer stacked scan
+                # residual buffers (each a dynamic-update-slice copy +
+                # 666 MB of HBM at the flagship shape)
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "flash_attn", "flash_attn_lse")
             elif self.remat_policy == "dots_noexpand_conv":
                 # dots_noexpand + the depthwise-conv output: the conv is
                 # conv_general_dilated (not a dot_general), so the dots
