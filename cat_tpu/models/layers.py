@@ -242,7 +242,8 @@ class RelPositionMultiHeadAttention(nn.Module):
             if rate > 0.0:
                 from cat_tpu.ops.dropout_pallas import key_to_seed
                 seed = key_to_seed(self.make_rng("dropout"))
-            decomp = resolve("flash_attn_decomp") and T <= 512
+            decomp_flag = resolve("flash_attn_decomp")
+            decomp = decomp_flag in ("1", "interpret") and T <= 512
             if decomp:
                 # shear-free variant: fold the sinusoid basis into trig
                 # tables so rel-pos scores become one MXU matmul (the
@@ -255,7 +256,9 @@ class RelPositionMultiHeadAttention(nn.Module):
                 out = flash_relpos_attention_decomp(
                     q, k, v, w, u_bias, v_bias, mask,
                     scale=1.0 / float(np.sqrt(Dh)), dropout_rate=rate,
-                    seed=seed, interpret=(flash == "interpret"))
+                    seed=seed,
+                    interpret=(decomp_flag == "interpret"
+                               or flash == "interpret"))
             else:
                 from cat_tpu.ops.attention_pallas import \
                     flash_relpos_attention

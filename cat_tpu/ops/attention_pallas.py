@@ -373,48 +373,84 @@ def _decomp_tables(Tp, D):
 
 
 def _build_u(r, a, b, c, D):
-    rollL = pltpu.roll(r, D - 1, axis=1)   # rollL[m] = r[m+1]
-    rollR = pltpu.roll(r, 1, axis=1)       # rollR[m] = r[m-1]
+    ax = r.ndim - 1
+    rollL = pltpu.roll(r, D - 1, axis=ax)  # rollL[m] = r[m+1]
+    rollR = pltpu.roll(r, 1, axis=ax)      # rollR[m] = r[m-1]
     return r * a + rollL * b + rollR * c
+
+
+def _load_tables_once(first, srcs, dsts, sem):
+    """DMA the grid-invariant trig tables HBM→VMEM scratch on the first
+    grid step only. Declaring them as ordinary VMEM inputs re-fetches
+    ~1.7 MB per grid step (measured: +2.4 ms/call at the flagship shape
+    — the tables were most of the kernel's runtime)."""
+
+    @pl.when(first)
+    def _():
+        for i, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(src, dst, sem.at[i]).start()
+        for i, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(src, dst, sem.at[i]).wait()
 
 
 def _fwd_kernel_decomp(seed_ref, q_ref, k_ref, v_ref, w_ref, a_ref,
                        b_ref, c_ref, vt_ref, kb_ref, ub_ref, vb_ref,
-                       o_ref, lse_ref, *, scale, rate, H, b, D):
-    """Whole-sequence tile, shear-free rel-pos (see _decomp_tables)."""
-    n, h = pl.program_id(0), pl.program_id(1)
-    q = q_ref[0, 0]                 # (b, Dh)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
+                       o_ref, lse_ref, atab, btab, ctab, vtab, sem,
+                       *, scale, rate, H, b, D, NB):
+    """Whole-sequence tiles, shear-free rel-pos (see _decomp_tables).
+
+    Processes NB batch items per grid step: amortizes the per-step
+    dispatch/DMA-setup overhead (the round-3 trace showed the kernel at
+    ~20% efficiency across 1024 tiny (n, h) steps) and flattens the
+    dominant bd matmul to (NB·b, D) @ (D, b) — a deep-M MXU call
+    instead of NB shallow ones. The trig tables live in VMEM scratch,
+    DMA'd once (see _load_tables_once)."""
+    h, nb = pl.program_id(0), pl.program_id(1)
+    _load_tables_once((h == 0) & (nb == 0),
+                      (a_ref, b_ref, c_ref, vt_ref),
+                      (atab, btab, ctab, vtab), sem)
+    q = q_ref[:, 0]                 # (NB, b, Dh)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
     w = w_ref[0]                    # (Dh, D)
     ub = ub_ref[0].astype(q.dtype)  # (1, Dh)
     vb = vb_ref[0].astype(q.dtype)
+    Dh = q.shape[-1]
 
-    s = jax.lax.dot_general(q + ub, k, (((1,), (1,)), ((), ())),
+    batched = (((2,), (2,)), ((0,), (0,)))
+    s = jax.lax.dot_general(q + ub, k, batched,
                             preferred_element_type=jnp.float32)
-    r = jax.lax.dot_general(q + vb, w, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)  # (b, D)
-    u = _build_u(r, a_ref[...].astype(jnp.float32),
-                 b_ref[...].astype(jnp.float32),
-                 c_ref[...].astype(jnp.float32), D)
-    bd = jax.lax.dot_general(u.astype(vt_ref.dtype), vt_ref[...],
-                             (((1,), (1,)), ((), ())),
+    qv2 = (q + vb).reshape(NB * b, Dh)
+    r = jax.lax.dot_general(qv2, w, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    u = _build_u(r.reshape(NB, b, D),
+                 atab[...].astype(jnp.float32),
+                 btab[...].astype(jnp.float32),
+                 ctab[...].astype(jnp.float32), D)
+    bd = jax.lax.dot_general(u.reshape(NB * b, D).astype(vtab.dtype),
+                             vtab[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    s = (s + bd) * scale + kb_ref[0, 0][None, :]
-    m = jnp.max(s, axis=1, keepdims=True)
+    s = (s + bd.reshape(NB, b, b)) * scale + kb_ref[:, 0][:, None, :]
+    m = jnp.max(s, axis=2, keepdims=True)
     e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=1, keepdims=True)
+    l = jnp.sum(e, axis=2, keepdims=True)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0],
-                        _tile_seed(seed_ref, n, h, 0, 0, H, 1, 1))
-        keep = _dropout_keep(e.shape, _thr(rate))
+        # per-ITEM seeds (n = nb·NB + i), so the mask is independent of
+        # the block size — fwd and bwd may pick different NB
+        keeps = []
+        for i in range(NB):
+            pltpu.prng_seed(seed_ref[0],
+                            _tile_seed(seed_ref, nb * NB + i, h,
+                                       0, 0, H, 1, 1))
+            keeps.append(_dropout_keep((b, b), _thr(rate)))
+        keep = jnp.stack(keeps)
         e = jnp.where(keep, e * (1.0 / (1.0 - rate)), 0.0)
     acc = jax.lax.dot_general(e.astype(v.dtype), v,
-                              (((1,), (0,)), ((), ())),
+                              (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
-    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-    lse_ref[...] = jnp.reshape(m + jnp.log(jnp.maximum(l, 1e-30)),
-                               (1, 1, 1, b))
+    o_ref[:, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[:, 0, 0] = jnp.reshape(
+        m + jnp.log(jnp.maximum(l, 1e-30)), (NB, b))
 
 
 def _bwd_kernel_decomp(seed_ref, q_ref, k_ref, v_ref, w_ref, a_ref,
@@ -422,81 +458,119 @@ def _bwd_kernel_decomp(seed_ref, q_ref, k_ref, v_ref, w_ref, a_ref,
                        lse_ref, do_ref, dd_ref,
                        dq_ref, dk_ref, dv_ref, dw_ref, dub_ref, dvb_ref,
                        dws_ref, dubs_ref, dvbs_ref,
-                       *, scale, rate, H, b, D):
-    h, n = pl.program_id(0), pl.program_id(1)
+                       atab, btab, ctab, vtab, sem,
+                       *, scale, rate, H, b, D, NB):
+    h, nb = pl.program_id(0), pl.program_id(1)
+    _load_tables_once((h == 0) & (nb == 0),
+                      (a_ref, b_ref, c_ref, vt_ref),
+                      (atab, btab, ctab, vtab), sem)
 
-    @pl.when(n == 0)
+    @pl.when(nb == 0)
     def _init_p():
         dws_ref[...] = jnp.zeros_like(dws_ref)
         dubs_ref[...] = jnp.zeros_like(dubs_ref)
         dvbs_ref[...] = jnp.zeros_like(dvbs_ref)
 
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
+    q = q_ref[:, 0]                 # (NB, b, Dh)
+    k = k_ref[:, 0]
+    v = v_ref[:, 0]
+    do = do_ref[:, 0]
     w = w_ref[0]
     ub = ub_ref[0].astype(q.dtype)
     vb = vb_ref[0].astype(q.dtype)
     qu = q + ub
     qv = q + vb
+    Dh = q.shape[-1]
 
-    a = a_ref[...].astype(jnp.float32)
-    b_t = b_ref[...].astype(jnp.float32)
-    c = c_ref[...].astype(jnp.float32)
-    s = jax.lax.dot_general(qu, k, (((1,), (1,)), ((), ())),
+    a = atab[...].astype(jnp.float32)
+    b_t = btab[...].astype(jnp.float32)
+    c = ctab[...].astype(jnp.float32)
+    batched = (((2,), (2,)), ((0,), (0,)))
+    s = jax.lax.dot_general(qu, k, batched,
                             preferred_element_type=jnp.float32)
-    r = jax.lax.dot_general(qv, w, (((1,), (0,)), ((), ())),
+    qv2 = qv.reshape(NB * b, Dh)
+    r = jax.lax.dot_general(qv2, w, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    u = _build_u(r, a, b_t, c, D)
-    bd = jax.lax.dot_general(u.astype(vt_ref.dtype), vt_ref[...],
-                             (((1,), (1,)), ((), ())),
+    u = _build_u(r.reshape(NB, b, D), a, b_t, c, D)
+    bd = jax.lax.dot_general(u.reshape(NB * b, D).astype(vtab.dtype),
+                             vtab[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    s = (s + bd) * scale + kb_ref[0, 0][None, :]
-    p_ = jnp.exp(s - lse_ref[0, 0, 0][:, None])          # (b, b)
+    s = (s + bd.reshape(NB, b, b)) * scale + kb_ref[:, 0][:, None, :]
+    p_ = jnp.exp(s - lse_ref[:, 0, 0][:, :, None])       # (NB, b, b)
 
-    dpmat = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+    dpmat = jax.lax.dot_general(do, v, batched,
                                 preferred_element_type=jnp.float32)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0],
-                        _tile_seed(seed_ref, n, h, 0, 0, H, 1, 1))
-        keep = _dropout_keep(p_.shape, _thr(rate))
+        keeps = []
+        for i in range(NB):
+            pltpu.prng_seed(seed_ref[0],
+                            _tile_seed(seed_ref, nb * NB + i, h,
+                                       0, 0, H, 1, 1))
+            keeps.append(_dropout_keep((b, b), _thr(rate)))
+        keep = jnp.stack(keeps)
         inv = 1.0 / (1.0 - rate)
         p_drop = jnp.where(keep, p_ * inv, 0.0)
         dpmat = jnp.where(keep, dpmat * inv, 0.0)
     else:
         p_drop = p_
-    dv_ref[0, 0] = jax.lax.dot_general(
-        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+    dv_ref[:, 0] = jax.lax.dot_general(
+        p_drop.astype(do.dtype), do, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dv_ref.dtype)
-    ds = p_ * (dpmat - dd_ref[0, 0, 0][:, None]) * scale
+    ds = p_ * (dpmat - dd_ref[:, 0, 0][:, :, None]) * scale
     dsl = ds.astype(k.dtype)
-    dqu = jax.lax.dot_general(dsl, k, (((1,), (0,)), ((), ())),
+    dqu = jax.lax.dot_general(dsl, k, (((2,), (1,)), ((0,), (0,))),
                               preferred_element_type=jnp.float32)
-    dk_ref[0, 0] = jax.lax.dot_general(
-        dsl, qu, (((0,), (0,)), ((), ())),
+    dk_ref[:, 0] = jax.lax.dot_general(
+        dsl, qu, (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(dk_ref.dtype)
     # bd path: dU = ds @ V; dr = adjoint of _build_u; dqv = dr @ w^T
-    du = jax.lax.dot_general(dsl, vt_ref[...], (((1,), (0,)), ((), ())),
+    du = jax.lax.dot_general(dsl.reshape(NB * b, b), vtab[...],
+                             (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    du = du.reshape(NB, b, D)
     dr = (du * a
-          + pltpu.roll(du * b_t, 1, axis=1)        # dr[m+1] += du[m]*B[m]
-          + pltpu.roll(du * c, D - 1, axis=1))     # dr[m-1] += du[m]*C[m]
-    drl = dr.astype(w.dtype)
+          + pltpu.roll(du * b_t, 1, axis=2)        # dr[m+1] += du[m]*B[m]
+          + pltpu.roll(du * c, D - 1, axis=2))     # dr[m-1] += du[m]*C[m]
+    dr2 = dr.reshape(NB * b, D)
+    drl = dr2.astype(w.dtype)
     dqv = jax.lax.dot_general(drl, w, (((1,), (1,)), ((), ())),
                               preferred_element_type=jnp.float32)
-    dq_ref[0, 0] = (dqu + dqv).astype(dq_ref.dtype)
+    dqv = dqv.reshape(NB, b, Dh)
+    dq_ref[:, 0] = (dqu + dqv).astype(dq_ref.dtype)
     dws_ref[...] += jax.lax.dot_general(
-        qv.astype(jnp.float32), dr, (((0,), (0,)), ((), ())),
+        qv2.astype(jnp.float32), dr2, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dubs_ref[...] += jnp.sum(dqu, axis=0, keepdims=True)
-    dvbs_ref[...] += jnp.sum(dqv, axis=0, keepdims=True)
+    dubs_ref[...] += jnp.sum(dqu, axis=(0, 1), keepdims=False)[None]
+    dvbs_ref[...] += jnp.sum(dqv, axis=(0, 1), keepdims=False)[None]
 
-    @pl.when(n == pl.num_programs(1) - 1)
+    @pl.when(nb == pl.num_programs(1) - 1)
     def _flush():
         dw_ref[0] = dws_ref[...]
         dub_ref[...] = dubs_ref[...].reshape(dub_ref.shape)
         dvb_ref[...] = dvbs_ref[...].reshape(dvb_ref.shape)
+
+
+def _pick_nb(N, Tp, D, Dh, *, bwd, env=None):
+    """Largest batch-block that divides N and fits a VMEM budget.
+
+    The f32 intermediates dominate: fwd holds ~2 (b,b) + ~1.5 (b,D)
+    per item; bwd ~4 (b,b) + ~2.5 (b,D). Overridable for experiments
+    via CAT_TPU_FLASH_NB_FWD / CAT_TPU_FLASH_NB_BWD."""
+    import os
+    key = "CAT_TPU_FLASH_NB_BWD" if bwd else "CAT_TPU_FLASH_NB_FWD"
+    v = os.environ.get(key) if env is None else env
+    if v:
+        nb = max(1, int(v))
+        while N % nb:
+            nb //= 2
+        return max(1, nb)
+    per = (4 * Tp * Tp + 2.5 * Tp * D if bwd
+           else 2 * Tp * Tp + 1.5 * Tp * D) * 4 + 8 * Tp * Dh * 2
+    budget = 10 * 2 ** 20 if bwd else 12 * 2 ** 20
+    nb = 8
+    while nb > 1 and (N % nb or nb * per > budget):
+        nb //= 2
+    return nb
 
 
 def _pallas_fwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed, scale,
@@ -504,33 +578,39 @@ def _pallas_fwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed, scale,
     N, H, Tp, Dh = q.shape
     D = w.shape[-1]
     a, b_t, c, vt = tabs
+    NB = _pick_nb(N, Tp, D, Dh, bwd=False)
     kernel = functools.partial(_fwd_kernel_decomp, scale=scale,
-                               rate=rate, H=H, b=Tp, D=D)
+                               rate=rate, H=H, b=Tp, D=D, NB=NB)
     o, lse = pl.pallas_call(
         kernel,
-        grid=(N, H),
+        grid=(H, N // NB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
-            pl.BlockSpec((1, Dh, D), lambda n, h: (h, 0, 0)),
-            pl.BlockSpec((Tp, D), lambda n, h: (0, 0)),
-            pl.BlockSpec((Tp, D), lambda n, h: (0, 0)),
-            pl.BlockSpec((Tp, D), lambda n, h: (0, 0)),
-            pl.BlockSpec((Tp, D), lambda n, h: (0, 0)),
-            pl.BlockSpec((1, 1, Tp), lambda n, h: (n, 0, 0)),
-            pl.BlockSpec((1, 1, Dh), lambda n, h: (h, 0, 0)),
-            pl.BlockSpec((1, 1, Dh), lambda n, h: (h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((1, Dh, D), lambda h, nb: (h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((NB, 1, Tp), lambda h, nb: (nb, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, nb: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, nb: (h, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, Tp, Dh), lambda n, h: (n, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, Tp), lambda n, h: (n, h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((NB, 1, 1, Tp), lambda h, nb: (nb, h, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
             jax.ShapeDtypeStruct((N, H, 1, Tp), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
     )(seed, q, k, v, w, a, b_t, c, vt, kbias, ub, vb)
     return o, lse
@@ -541,36 +621,37 @@ def _pallas_bwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed, lse, do,
     N, H, Tp, Dh = q.shape
     D = w.shape[-1]
     a, b_t, c, vt = tabs
+    NB = _pick_nb(N, Tp, D, Dh, bwd=True)
     kernel = functools.partial(_bwd_kernel_decomp, scale=scale,
-                               rate=rate, H=H, b=Tp, D=D)
+                               rate=rate, H=H, b=Tp, D=D, NB=NB)
     f32 = jnp.float32
     dq, dk, dv, dw, dub, dvb = pl.pallas_call(
         kernel,
-        grid=(H, N),
+        grid=(H, N // NB),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
-            pl.BlockSpec((1, Dh, D), lambda h, n: (h, 0, 0)),
-            pl.BlockSpec((Tp, D), lambda h, n: (0, 0)),
-            pl.BlockSpec((Tp, D), lambda h, n: (0, 0)),
-            pl.BlockSpec((Tp, D), lambda h, n: (0, 0)),
-            pl.BlockSpec((Tp, D), lambda h, n: (0, 0)),
-            pl.BlockSpec((1, 1, Tp), lambda h, n: (n, 0, 0)),
-            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
-            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, Tp), lambda h, n: (n, h, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
-            pl.BlockSpec((1, 1, 1, Tp), lambda h, n: (n, h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((1, Dh, D), lambda h, nb: (h, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((NB, 1, Tp), lambda h, nb: (nb, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, nb: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, nb: (h, 0, 0)),
+            pl.BlockSpec((NB, 1, 1, Tp), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((NB, 1, 1, Tp), lambda h, nb: (nb, h, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
-            pl.BlockSpec((1, 1, Tp, Dh), lambda h, n: (n, h, 0, 0)),
-            pl.BlockSpec((1, Dh, D), lambda h, n: (h, 0, 0)),
-            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
-            pl.BlockSpec((1, 1, Dh), lambda h, n: (h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((NB, 1, Tp, Dh), lambda h, nb: (nb, h, 0, 0)),
+            pl.BlockSpec((1, Dh, D), lambda h, nb: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, nb: (h, 0, 0)),
+            pl.BlockSpec((1, 1, Dh), lambda h, nb: (h, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((N, H, Tp, Dh), q.dtype),
@@ -582,7 +663,12 @@ def _pallas_bwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed, lse, do,
         ],
         scratch_shapes=[pltpu.VMEM((Dh, D), f32),
                         pltpu.VMEM((1, Dh), f32),
-                        pltpu.VMEM((1, Dh), f32)],
+                        pltpu.VMEM((1, Dh), f32),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.SemaphoreType.DMA((4,))],
         interpret=interpret,
     )(seed, q, k, v, w, a, b_t, c, vt, kbias, ub, vb, lse, do, dd)
     return dq, dk, dv, dw, dub, dvb
@@ -641,7 +727,10 @@ def flash_relpos_attention_decomp(q, k, v, w, u_bias, v_bias, kmask, *,
         seed = jnp.zeros((2,), jnp.int32)
     # sublane-granular padding: the decomp kernel has no wide-lane rolls
     # (only D-lane rolls), so T needs only 8-row alignment — at the
-    # flagship T'=399 this cuts 22% of padded rows vs rounding to 128
+    # flagship T'=399 this cuts 22% of padded rows vs rounding to 128.
+    # Device-validated (tools/device_checks.py) for bf16 at Tp ≡ 8
+    # (mod 16), e.g. T=197→Tp=200: fwd+all grads within bf16 tolerance;
+    # f32 under default_matmul_precision("float32") parity ~3e-5.
     Tp = _round_up(T, 8)
 
     def prep(x):  # (N, T, H, Dh) -> (N, H, Tp, Dh)

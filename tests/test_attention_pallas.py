@@ -208,12 +208,45 @@ def test_layer_integration_decomp():
     mod = RelPositionMultiHeadAttention(num_heads=H, d_model=D)
     params = mod.init(jax.random.PRNGKey(0), x, mask)
     ref = mod.apply(params, x, mask)
+    prior = {k: os.environ.get(k) for k in
+             ("CAT_TPU_FLASH_ATTN", "CAT_TPU_FLASH_ATTN_DECOMP")}
     os.environ["CAT_TPU_FLASH_ATTN"] = "interpret"
     os.environ["CAT_TPU_FLASH_ATTN_DECOMP"] = "interpret"
     try:
         out = mod.apply(params, x, mask)
     finally:
-        os.environ.pop("CAT_TPU_FLASH_ATTN")
-        os.environ.pop("CAT_TPU_FLASH_ATTN_DECOMP")
+        for k, v in prior.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_decomp_nb_blocked_grads(monkeypatch):
+    """NB-batched grid (4 items/step fwd, 2 bwd) matches the reference."""
+    monkeypatch.setenv("CAT_TPU_FLASH_NB_FWD", "4")
+    monkeypatch.setenv("CAT_TPU_FLASH_NB_BWD", "2")
+    N, T, H, Dh, D = 4, 96, 2, 32, 64
+    q, k, v, w, u, vb, kmask = _w_inputs(N, T, H, Dh, D, seed=7)
+    wt = jnp.asarray(
+        np.random.default_rng(4).standard_normal((N, T, H, Dh)),
+        jnp.float32) * kmask[:, :, None, None]
+
+    def loss_ref(args):
+        q, k, v, w, u, vb = args
+        return jnp.sum(relpos_attention_reference(
+            q, k, v, _p_of_w(w, T), u, vb, kmask) * wt)
+
+    def loss_ker(args):
+        q, k, v, w, u, vb = args
+        return jnp.sum(flash_relpos_attention_decomp(
+            q, k, v, w, u, vb, kmask, interpret=True) * wt)
+
+    args = (q, k, v, w, u, vb)
+    g_ref = jax.grad(loss_ref)(args)
+    g_ker = jax.grad(loss_ker)(args)
+    for gr, gk, name in zip(g_ref, g_ker, "q k v w u vb".split()):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)

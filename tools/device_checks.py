@@ -1,0 +1,115 @@
+"""On-device (real TPU) parity checks for shapes the CPU suite can't cover.
+
+The pytest suite forces the CPU backend (tests/conftest.py), so kernel
+behaviors that depend on Mosaic's hardware lowering — bf16 sub-tile
+masking, hardware PRNG — are validated here against the live chip.
+
+Run: python tools/device_checks.py          (requires a TPU backend)
+
+Current checks:
+  1. flash_relpos_attention_decomp, bf16, T=197 → Tp=200 ≡ 8 (mod 16):
+     the 8-row padding relies on Mosaic masking whole-dim blocks at
+     sub-bf16-tile granularity (bf16 min tile is (16, 128)); ADVICE r3
+     asked for an on-device check of exactly this class of shape.
+  2. Same at T=200 (Tp=200) and T=399 (flagship, Tp=400) fwd+grad.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _inputs(N, T, H, Dh, D, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((N, T, H, Dh)), dtype)
+    k = jnp.asarray(rng.standard_normal((N, T, H, Dh)), dtype)
+    v = jnp.asarray(rng.standard_normal((N, T, H, Dh)), dtype)
+    w = jnp.asarray(rng.standard_normal((D, H, Dh)) * 0.2, dtype)
+    u = jnp.asarray(rng.standard_normal((H, Dh)) * 0.1, dtype)
+    vb = jnp.asarray(rng.standard_normal((H, Dh)) * 0.1, dtype)
+    lengths = rng.integers(max(1, T // 2), T + 1, size=N)
+    lengths[0] = T
+    kmask = jnp.arange(T)[None, :] < jnp.asarray(lengths)[:, None]
+    return q, k, v, w, u, vb, kmask
+
+
+def check_decomp_parity(N, T, H, Dh, D, dtype, tol, precision=None):
+    if precision is not None:
+        with jax.default_matmul_precision(precision):
+            return check_decomp_parity(N, T, H, Dh, D, dtype, tol)
+    from cat_tpu.models.layers import rel_positional_encoding
+    from cat_tpu.ops.attention_pallas import (
+        flash_relpos_attention_decomp, relpos_attention_reference)
+
+    q, k, v, w, u, vb, kmask = _inputs(N, T, H, Dh, D, dtype)
+    pe = rel_positional_encoding(T, D)
+    p = jnp.einsum("md,dhe->mhe", pe, w.astype(jnp.float32)).astype(dtype)
+
+    ref = jax.jit(relpos_attention_reference)(q, k, v, p, u, vb, kmask)
+    out = jax.jit(lambda *a: flash_relpos_attention_decomp(*a))(
+        q, k, v, w, u, vb, kmask)
+    valid = np.asarray(kmask)[:, :, None, None]
+    r = np.where(valid, np.asarray(ref, np.float32), 0.0)
+    o = np.where(valid, np.asarray(out, np.float32), 0.0)
+    err = np.max(np.abs(r - o)) / (np.max(np.abs(r)) + 1e-9)
+    status = "ok" if err < tol else "FAIL"
+    print(f"decomp fwd  N={N} T={T} Dh={Dh} {np.dtype(dtype).name}: "
+          f"rel-err {err:.2e} ({status})")
+    ok = err < tol
+
+    # gradient parity through a scalar loss over valid rows
+    wt = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (N, T, H, Dh)), jnp.float32) * kmask[:, :, None, None]
+
+    def loss_ker(args):
+        q, k, v, w, u, vb = args
+        return jnp.sum(flash_relpos_attention_decomp(
+            q, k, v, w, u, vb, kmask).astype(jnp.float32) * wt)
+
+    def loss_ref(args):
+        q, k, v, w, u, vb = args
+        p = jnp.einsum("md,dhe->mhe", pe,
+                       w.astype(jnp.float32)).astype(dtype)
+        return jnp.sum(relpos_attention_reference(
+            q, k, v, p, u, vb, kmask).astype(jnp.float32) * wt)
+
+    args = (q, k, v, w, u, vb)
+    g_ref = jax.jit(jax.grad(loss_ref))(args)
+    g_ker = jax.jit(jax.grad(loss_ker))(args)
+    for gr, gk, name in zip(g_ref, g_ker, "q k v w u vb".split()):
+        gr = np.asarray(gr, np.float32)
+        gk = np.asarray(gk, np.float32)
+        gerr = np.max(np.abs(gr - gk)) / (np.max(np.abs(gr)) + 1e-9)
+        gs = "ok" if gerr < tol else "FAIL"
+        print(f"  grad d{name}: rel-err {gerr:.2e} ({gs})")
+        ok = ok and gerr < tol
+    return ok
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print(f"backend is {jax.default_backend()}, not tpu — "
+              "these checks validate the hardware lowering; aborting")
+        return 1
+    ok = True
+    # bf16 tolerances: softmax-weighted averages of O(1) values; bf16 has
+    # ~3 decimal digits, reference itself computes in mixed precision
+    ok &= check_decomp_parity(2, 197, 4, 64, 256, jnp.bfloat16, 3e-2)
+    ok &= check_decomp_parity(2, 200, 4, 64, 256, jnp.bfloat16, 3e-2)
+    # f32 under DEFAULT matmul precision runs bf16 MXU passes on TPU —
+    # force full-f32 matmuls for the tight-tolerance check
+    ok &= check_decomp_parity(2, 197, 4, 64, 256, jnp.float32, 3e-3,
+                              precision="float32")
+    ok &= check_decomp_parity(2, 399, 8, 64, 512, jnp.bfloat16, 3e-2)
+    print("ALL OK" if ok else "FAILURES")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
