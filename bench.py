@@ -105,7 +105,7 @@ def main():
                                 "dropout_rate": 0.1,
                                 "dtype": os.environ.get(
                                     "BENCH_DTYPE", "bfloat16"),
-                                "scan_layers": True,
+                                "scan_layers": os.environ.get("BENCH_SCAN", "1") == "1",
                                 "remat": os.environ.get(
                                     "BENCH_REMAT", "1") == "1",
                                 # save MXU outputs except the expanding
@@ -198,7 +198,7 @@ def bench_rnnt():
                                 "num_heads": 8, "kernel_size": 32,
                                 "dropout_rate": 0.1,
                                 "dtype": "bfloat16",
-                                "scan_layers": True,
+                                "scan_layers": os.environ.get("BENCH_SCAN", "1") == "1",
                                 "remat": True,
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY",

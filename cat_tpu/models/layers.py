@@ -318,22 +318,67 @@ class RelPositionMultiHeadAttention(nn.Module):
 
 
 class FFModule(nn.Module):
-    """Conformer feed-forward module, half-step residual outside
-    (layer.py:424-451)."""
+    """Conformer feed-forward module (layer.py:424-451).
+
+    With residual_alpha > 0 the module returns x + α·ff(x) (the cell's
+    half-step residual folded in), which lets the fused Pallas path
+    (ops/ffn_pallas.py, perf flag "fused_ffn") run LN, both matmuls,
+    SiLU, both dropouts and the residual in a single kernel each way —
+    no (N, T, 4D) tensor ever reaches HBM. Param structure is identical
+    in both paths (same LayerNorm_0/Dense_0/Dense_1 submodules)."""
 
     d_model: int
     expansion: int = 4
     dropout_rate: float = 0.0
     dtype: Any = jnp.float32
+    residual_alpha: float = 0.0
 
     @nn.compact
     def __call__(self, x, deterministic=True):
+        from cat_tpu.utils.flags import resolve
+        mode = resolve("fused_ffn")
+        # same multi-chip gate as flash_attn: GSPMD cannot partition an
+        # opaque pallas_call (CAT_TPU_FUSED_FFN=force to override once
+        # a shard_map wrap exists for your config)
+        if mode == "1" and jax.device_count() > 1:
+            mode = ""
+        if mode == "force":
+            mode = "1"
+        D = x.shape[-1]
+        F = self.d_model * self.expansion
+        if (mode in ("1", "interpret") and self.residual_alpha > 0.0
+                and x.ndim == 3 and D % 128 == 0 and F % 128 == 0):
+            ln = nn.LayerNorm(dtype=jnp.float32)
+            d1 = nn.Dense(F, dtype=self.dtype)
+            d2 = nn.Dense(self.d_model, dtype=self.dtype)
+            # materialize params with shape-bearing probe calls (the
+            # probes are dead code, DCE'd by XLA); read the arrays off
+            # the bound submodules so the param tree matches the stock
+            # path exactly
+            ln(jnp.zeros((1, D), jnp.float32))
+            d1(jnp.zeros((1, D), self.dtype))
+            d2(jnp.zeros((1, F), self.dtype))
+            p = lambda m, k: m.variables["params"][k]
+            rate = 0.0 if deterministic else float(self.dropout_rate)
+            seed = None
+            if rate > 0.0:
+                from cat_tpu.ops.dropout_pallas import key_to_seed
+                seed = key_to_seed(self.make_rng("dropout"))
+            from cat_tpu.ops.ffn_pallas import fused_ff_residual
+            return fused_ff_residual(
+                x, p(ln, "scale"), p(ln, "bias"),
+                p(d1, "kernel"), p(d1, "bias"),
+                p(d2, "kernel"), p(d2, "bias"),
+                alpha=self.residual_alpha, dropout_rate=rate,
+                seed=seed, interpret=(mode == "interpret"))
         h = nn.LayerNorm(dtype=jnp.float32)(x)
-        h = nn.Dense(self.d_model * self.expansion, dtype=self.dtype)(h)
+        h = nn.Dense(F, dtype=self.dtype)(h)
         h = nn.silu(h)
         h = Dropout(self.dropout_rate)(h, deterministic)
         h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         h = Dropout(self.dropout_rate)(h, deterministic)
+        if self.residual_alpha > 0.0:
+            return x + self.residual_alpha * h.astype(x.dtype)
         return h.astype(x.dtype)
 
 
@@ -348,13 +393,39 @@ class ConvModule(nn.Module):
     use_batchnorm: bool = True
     causal: bool = False
     dtype: Any = jnp.float32
+    # fold the cell's residual add into the module (enables the fused
+    # Pallas entry/exit stages, perf flag "fused_conv_mod" — see
+    # ops/conv_module_pallas.py; param tree unchanged)
+    residual: bool = False
 
     @nn.compact
     def __call__(self, x, mask, deterministic=True):
-        h = nn.LayerNorm(dtype=jnp.float32)(x)
-        h = nn.Dense(2 * self.d_model, dtype=self.dtype)(h)
-        h = nn.glu(h, axis=-1)
-        h = jnp.where(mask[:, :, None], h, 0.0)
+        from cat_tpu.utils.flags import resolve
+        mode = resolve("fused_conv_mod")
+        if mode == "1" and jax.device_count() > 1:
+            mode = ""
+        if mode == "force":
+            mode = "1"
+        D = self.d_model
+        fused = (mode in ("1", "interpret") and self.residual
+                 and self.use_batchnorm and x.ndim == 3
+                 and D % 128 == 0 and x.shape[-1] == D)
+        if fused:
+            from cat_tpu.ops.conv_module_pallas import (fused_bn_out,
+                                                        fused_glu_in)
+            ln = nn.LayerNorm(dtype=jnp.float32)
+            d1 = nn.Dense(2 * D, dtype=self.dtype)
+            ln(jnp.zeros((1, D), jnp.float32))
+            d1(jnp.zeros((1, D), self.dtype))
+            p = lambda m, k: m.variables["params"][k]
+            h = fused_glu_in(x, mask, p(ln, "scale"), p(ln, "bias"),
+                             p(d1, "kernel"), p(d1, "bias"),
+                             interpret=(mode == "interpret"))
+        else:
+            h = nn.LayerNorm(dtype=jnp.float32)(x)
+            h = nn.Dense(2 * self.d_model, dtype=self.dtype)(h)
+            h = nn.glu(h, axis=-1)
+            h = jnp.where(mask[:, :, None], h, 0.0)
         k = self.kernel_size
         if self.causal:
             pad = [(k - 1, 0)]
@@ -369,6 +440,7 @@ class ConvModule(nn.Module):
         # ((N, T', D) bf16 ≈ 39 MB/cell at the flagship shape).
         from jax.ad_checkpoint import checkpoint_name
         h = checkpoint_name(h, "conv_dw")
+        conv_out = h
         h = h.astype(jnp.float32)
         if self.use_batchnorm:
             # masked batch statistics over (batch, time)
@@ -394,6 +466,22 @@ class ConvModule(nn.Module):
                     m = 0.9
                     ra_mean.value = m * ra_mean.value + (1 - m) * mean
                     ra_var.value = m * ra_var.value + (1 - m) * var
+            if fused:
+                from cat_tpu.ops.conv_module_pallas import fused_bn_out
+                d2 = nn.Dense(self.d_model, dtype=self.dtype)
+                d2(jnp.zeros((1, D), self.dtype))
+                rate = (0.0 if deterministic
+                        else float(self.dropout_rate))
+                seed = None
+                if rate > 0.0:
+                    from cat_tpu.ops.dropout_pallas import key_to_seed
+                    seed = key_to_seed(self.make_rng("dropout"))
+                return fused_bn_out(
+                    conv_out, x, mask, use_mean, use_var, scale, bias,
+                    d2.variables["params"]["kernel"],
+                    d2.variables["params"]["bias"],
+                    dropout_rate=rate, seed=seed,
+                    interpret=(mode == "interpret"))
             h = (h - use_mean) * jax.lax.rsqrt(use_var + 1e-5)
             h = h * scale + bias
         else:
@@ -401,7 +489,10 @@ class ConvModule(nn.Module):
         h = nn.silu(h)
         h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         h = Dropout(self.dropout_rate)(h, deterministic)
-        return jnp.where(mask[:, :, None], h.astype(x.dtype), 0.0)
+        out = jnp.where(mask[:, :, None], h.astype(x.dtype), 0.0)
+        if self.residual:
+            return x + out
+        return out
 
 
 class ConformerCell(nn.Module):
@@ -421,21 +512,21 @@ class ConformerCell(nn.Module):
     def __call__(self, x, lengths, deterministic=True):
         in_dtype = x.dtype  # keep the residual stream in input dtype
         mask = length_mask(lengths, x.shape[1])
-        x = x + 0.5 * FFModule(self.d_model, self.ff_expansion,
-                               self.dropout_rate,
-                               dtype=self.dtype)(x, deterministic)
+        x = FFModule(self.d_model, self.ff_expansion,
+                     self.dropout_rate, dtype=self.dtype,
+                     residual_alpha=0.5)(x, deterministic)
         h = nn.LayerNorm(dtype=jnp.float32)(x).astype(in_dtype)
         x = x + RelPositionMultiHeadAttention(
             self.num_heads, self.d_model, self.dropout_rate,
             dtype=self.dtype,
             context=self.attention_context)(h, mask, deterministic)
-        x = x + ConvModule(self.d_model, self.kernel_size,
-                           self.dropout_rate, self.use_batchnorm,
-                           self.causal_conv,
-                           dtype=self.dtype)(x, mask, deterministic)
-        x = x + 0.5 * FFModule(self.d_model, self.ff_expansion,
-                               self.dropout_rate,
-                               dtype=self.dtype)(x, deterministic)
+        x = ConvModule(self.d_model, self.kernel_size,
+                       self.dropout_rate, self.use_batchnorm,
+                       self.causal_conv, dtype=self.dtype,
+                       residual=True)(x, mask, deterministic)
+        x = FFModule(self.d_model, self.ff_expansion,
+                     self.dropout_rate, dtype=self.dtype,
+                     residual_alpha=0.5)(x, deterministic)
         x = nn.LayerNorm(dtype=jnp.float32)(x).astype(in_dtype)
         return jnp.where(mask[:, :, None], x, 0.0)
 

@@ -26,6 +26,12 @@ _DEFAULTS = {
     # scan 9.1 ms; pallas RNN-T grad 9.1 vs 9.6 — default on for TPU
     "ctc_impl": "auto",        # auto: pallas on TPU, XLA scan elsewhere
     "rnnt_impl": "auto",
+    # fused conformer FF module (LN+matmuls+SiLU+dropouts+residual in
+    # one Pallas pass each way, ops/ffn_pallas.py)
+    "fused_ffn": "auto",
+    # fused conv-module entry/exit stages around the XLA depthwise conv
+    # + batch stats (ops/conv_module_pallas.py)
+    "fused_conv_mod": "auto",
 }
 
 

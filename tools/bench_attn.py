@@ -48,7 +48,7 @@ def main():
             t0 = time.perf_counter()
             for _ in range(reps):
                 r = fn(*args)
-            jax.block_until_ready(r)
+            float(r)  # block_until_ready is unreliable on this backend
             best = min(best, (time.perf_counter() - t0) / reps)
         return best * 1e3
 

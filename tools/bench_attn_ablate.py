@@ -105,13 +105,13 @@ def run(variant, NB=2):
         return jnp.sum(call(q, k, v, w, a, b_t, c, vt)
                        .astype(jnp.float32))
 
-    r = f(q, k, v, w); jax.block_until_ready(r)
+    float(f(q, k, v, w))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(20):
             r = f(q, k, v, w)
-        jax.block_until_ready(r)
+        float(r)  # block_until_ready is unreliable on this backend
         best = min(best, (time.perf_counter() - t0) / 20)
     print(f"{variant:16s} NB={NB}: {best*1e3:6.2f} ms")
 

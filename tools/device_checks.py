@@ -92,6 +92,142 @@ def check_decomp_parity(N, T, H, Dh, D, dtype, tol, precision=None):
     return ok
 
 
+def check_fused_ff_device(dtype, tol):
+    """Fused FF on device: parity (no dropout), dropout determinism and
+    fwd/bwd mask consistency via a directional derivative."""
+    from cat_tpu.ops.ffn_pallas import ff_reference, fused_ff_residual
+    N, T, D, F = 4, 100, 256, 1024
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, T, D)), dtype)
+    p = dict(
+        gamma=jnp.asarray(rng.standard_normal(D) * 0.2 + 1.0,
+                          jnp.float32),
+        beta=jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32),
+        w1=jnp.asarray(rng.standard_normal((D, F)) / np.sqrt(D),
+                       jnp.float32),
+        b1=jnp.asarray(rng.standard_normal(F) * 0.05, jnp.float32),
+        w2=jnp.asarray(rng.standard_normal((F, D)) / np.sqrt(F),
+                       jnp.float32),
+        b2=jnp.asarray(rng.standard_normal(D) * 0.05, jnp.float32),
+    )
+    args = (p["gamma"], p["beta"], p["w1"], p["b1"], p["w2"], p["b2"])
+
+    ref = jax.jit(lambda x: ff_reference(x, *args))(x)
+    out = jax.jit(lambda x: fused_ff_residual(x, *args))(x)
+    err = (np.max(np.abs(np.asarray(ref, np.float32)
+                         - np.asarray(out, np.float32)))
+           / (np.max(np.abs(np.asarray(ref, np.float32))) + 1e-9))
+    ok = err < tol
+    print(f"fused_ff fwd {np.dtype(dtype).name}: rel-err {err:.2e} "
+          f"({'ok' if ok else 'FAIL'})")
+
+    # dropout: determinism + keep fraction
+    seed = jnp.asarray([7, 9], jnp.int32)
+    fd = jax.jit(lambda x: fused_ff_residual(
+        x, *args, dropout_rate=0.3, seed=seed))
+    o1, o2 = np.asarray(fd(x), np.float32), np.asarray(fd(x),
+                                                      np.float32)
+    det = np.array_equal(o1, o2)
+    ok &= det
+    print(f"  dropout determinism: {'ok' if det else 'FAIL'}")
+
+    # fwd/bwd mask consistency: directional derivative (f32 only)
+    if dtype == jnp.float32:
+        d = jnp.asarray(rng.standard_normal(x.shape), dtype) * 0.1
+        wt = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+        lf = jax.jit(lambda x: jnp.sum(fused_ff_residual(
+            x, *args, dropout_rate=0.3, seed=seed) * wt))
+        g = jax.jit(jax.grad(lambda x: jnp.sum(fused_ff_residual(
+            x, *args, dropout_rate=0.3, seed=seed) * wt)))(x)
+        # eps large enough that the loss delta (~2eps·g·d) clears f32
+        # summation noise on the ~1e2-magnitude losses
+        eps = 1e-2
+        num = (float(lf(x + eps * d)) - float(lf(x - eps * d))) \
+            / (2 * eps)
+        ana = float(jnp.sum(g * d))
+        rel = abs(num - ana) / (abs(num) + 1e-6)
+        dok = rel < 1e-2
+        ok &= dok
+        print(f"  dropout grad directional: num {num:.4f} vs ana "
+              f"{ana:.4f} rel {rel:.2e} ({'ok' if dok else 'FAIL'})")
+    return ok
+
+
+def check_fused_conv_module_device(dtype, tol):
+    """Fused conv-module stages on device vs the stock path, incl.
+    dropout determinism + directional derivative in f32."""
+    import os
+
+    from cat_tpu.models.layers import ConvModule, length_mask
+    N, T, D = 4, 120, 256
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, T, D)), dtype)
+    lengths = jnp.asarray([T, T - 31, T - 7, T // 2])
+    mask = length_mask(lengths, T)
+    rate = 0.1
+    mod = ConvModule(d_model=D, kernel_size=16, dropout_rate=rate,
+                     dtype=dtype, residual=True)
+    vs = jax.jit(lambda: mod.init(jax.random.PRNGKey(0), x, mask,
+                                  deterministic=False))()
+
+    def run(fused, det=True):
+        os.environ["CAT_TPU_FUSED_CONV_MOD"] = "1" if fused else "0"
+        try:
+            kw = {} if det else {
+                "rngs": {"dropout": jax.random.PRNGKey(5)}}
+            out, _ = jax.jit(
+                lambda v, x: mod.apply(v, x, mask,
+                                       deterministic=det,
+                                       mutable=["batch_stats"],
+                                       **kw))(vs, x)
+            return np.asarray(out, np.float32)
+        finally:
+            os.environ.pop("CAT_TPU_FUSED_CONV_MOD", None)
+
+    ref = run(False)
+    out = run(True)
+    err = np.max(np.abs(ref - out)) / (np.max(np.abs(ref)) + 1e-9)
+    ok = err < tol
+    print(f"fused_conv_mod fwd {np.dtype(dtype).name}: rel-err "
+          f"{err:.2e} ({'ok' if ok else 'FAIL'})")
+
+    o1 = run(True, det=False)
+    o2 = run(True, det=False)
+    det_ok = np.array_equal(o1, o2)
+    ok &= det_ok
+    print(f"  dropout determinism: {'ok' if det_ok else 'FAIL'}")
+
+    if dtype == jnp.float32:
+        os.environ["CAT_TPU_FUSED_CONV_MOD"] = "1"
+        try:
+            wt = jnp.asarray(rng.standard_normal(x.shape),
+                             jnp.float32)
+            d = jnp.asarray(rng.standard_normal(x.shape), dtype) * 0.1
+
+            @jax.jit
+            def lf(x):
+                out, _ = mod.apply(
+                    vs, x, mask, deterministic=False,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(5)})
+                return jnp.sum(out * wt)
+
+            g = jax.jit(jax.grad(lf))(x)
+            eps = 1e-2
+            num = (float(lf(x + eps * d))
+                   - float(lf(x - eps * d))) / (2 * eps)
+            ana = float(jnp.sum(g * d))
+            rel = abs(num - ana) / (abs(num) + 1e-6)
+            dok = rel < 1e-2
+            ok &= dok
+            print(f"  dropout grad directional: num {num:.4f} vs ana "
+                  f"{ana:.4f} rel {rel:.2e} "
+                  f"({'ok' if dok else 'FAIL'})")
+        finally:
+            os.environ.pop("CAT_TPU_FUSED_CONV_MOD", None)
+    return ok
+
+
 def main():
     if jax.default_backend() != "tpu":
         print(f"backend is {jax.default_backend()}, not tpu — "
@@ -107,6 +243,12 @@ def main():
     ok &= check_decomp_parity(2, 197, 4, 64, 256, jnp.float32, 3e-3,
                               precision="float32")
     ok &= check_decomp_parity(2, 399, 8, 64, 512, jnp.bfloat16, 3e-2)
+    with jax.default_matmul_precision("float32"):
+        ok &= check_fused_ff_device(jnp.float32, 3e-4)
+    ok &= check_fused_ff_device(jnp.bfloat16, 3e-2)
+    with jax.default_matmul_precision("float32"):
+        ok &= check_fused_conv_module_device(jnp.float32, 1e-3)
+    ok &= check_fused_conv_module_device(jnp.bfloat16, 3e-2)
     print("ALL OK" if ok else "FAILURES")
     return 0 if ok else 1
 
