@@ -105,7 +105,7 @@ def main():
                                 "dropout_rate": 0.1,
                                 "dtype": os.environ.get(
                                     "BENCH_DTYPE", "bfloat16"),
-                                "scan_layers": os.environ.get("BENCH_SCAN", "1") == "1",
+                                "scan_layers": os.environ.get("BENCH_SCAN", "0") == "1",
                                 "remat": os.environ.get(
                                     "BENCH_REMAT", "1") == "1",
                                 # save MXU outputs except the expanding
@@ -118,6 +118,8 @@ def main():
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY",
                                     "flash_only"),
+                                "subsampling_remat": os.environ.get(
+                                    "BENCH_SUB_REMAT", "0") == "1",
                                 "subsampling_chunk": int(os.environ.get(
                                     "BENCH_SUB_CHUNK", "0"))}}},
         num_classes=VOCAB)
@@ -198,11 +200,13 @@ def bench_rnnt():
                                 "num_heads": 8, "kernel_size": 32,
                                 "dropout_rate": 0.1,
                                 "dtype": "bfloat16",
-                                "scan_layers": os.environ.get("BENCH_SCAN", "1") == "1",
+                                "scan_layers": os.environ.get("BENCH_SCAN", "0") == "1",
                                 "remat": True,
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY",
-                                    "flash_only")}},
+                                    "flash_only"),
+                                "subsampling_remat": os.environ.get(
+                                    "BENCH_SUB_REMAT", "0") == "1"}},
          "predictor": {"type": "LSTMPredictor",
                        "kwargs": {"hdim": 640, "num_layers": 1}},
          "joiner": {"type": os.environ.get("BENCH_JOINER", "LogAdd"),

@@ -51,11 +51,14 @@ def main():
                                 "dropout_rate": DROPOUT,
                                 "use_batchnorm": BATCHNORM,
                                 "dtype": "bfloat16",
-                                "scan_layers": True, "remat": REMAT,
+                                "scan_layers": os.environ.get("BENCH_SCAN", "0") == "1",
+                                "remat": REMAT,
                                 # default matches bench.py's flagship
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY",
-                                    "flash_only")}}},
+                                    "flash_only"),
+                                "subsampling_remat": os.environ.get(
+                                    "BENCH_SUB_REMAT", "0") == "1"}}},
         num_classes=VOCAB)
     _, tx = build_scheduler({
         "type": "SchedulerNoam",
@@ -134,11 +137,16 @@ def main():
         compile_s = time.time() - t_c0
         st, loss = step(st, batch, key)
         float(loss)
+        trace_dir = os.environ.get("BENCH_TRACE", "")
+        import contextlib
+        ctx = (jax.profiler.trace(trace_dir + "_" + variant)
+               if trace_dir else contextlib.nullcontext())
         t0 = time.time()
-        for i in range(STEPS):
-            key, sub = jax.random.split(key)
-            st, loss = step(st, batch, sub)
-        float(loss)
+        with ctx:
+            for i in range(STEPS):
+                key, sub = jax.random.split(key)
+                st, loss = step(st, batch, sub)
+            float(loss)
         dt = (time.time() - t0) / STEPS
         print(json.dumps({"variant": variant,
                           "step_ms": round(dt * 1000, 1),

@@ -233,13 +233,16 @@ class ConformerNet(nn.Module):
     scan_layers: bool = False  # nn.scan over stacked cell params:
     # compiles ONE cell instead of num_cells (compile-time killer for
     # deep stacks); requires time_reduction_layer < 0
+    subsampling_remat: bool = True  # recompute the conv subsampling in
+    # the backward pass (conv_a's transient is ~4 GB bf16 at flagship
+    # batch 128; turn off if HBM allows to skip the recompute)
 
     @nn.compact
     def __call__(self, x, lengths, deterministic=True):
         dtype = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         if self.subsampling == "conv2d":
             sub_cls = Conv2dSubsampling
-            if self.remat:
+            if self.remat and self.subsampling_remat:
                 # the subsampling activations dominate peak HBM
                 # (largest single allocation of a train step: conv_a's
                 # (N, T/2, F/2, D)) — recompute them in the backward
@@ -281,6 +284,16 @@ class ConformerNet(nn.Module):
                     dots_noexpand_saveable,
                     jax.checkpoint_policies.save_only_these_names(
                         "flash_attn", "flash_attn_lse"))
+            elif self.remat_policy == "flash_mods":
+                # flash_only + each module's OUTPUT (the residual
+                # stream after FF1/Conv/FF2): the backward no longer
+                # re-runs the fused FF/conv forward kernels just to
+                # rebuild inter-module values. ~2.7 GB extra residency
+                # at the flagship batch-128 shape; best with
+                # scan_layers=false (no stacking copies)
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "flash_attn", "flash_attn_lse", "ffn_out",
+                    "conv_mod_out")
             elif self.remat_policy == "flash_only":
                 # leanest residual set: keep only the fused attention
                 # kernel outputs and recompute every projection in the

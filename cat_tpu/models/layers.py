@@ -378,8 +378,11 @@ class FFModule(nn.Module):
         h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         h = Dropout(self.dropout_rate)(h, deterministic)
         if self.residual_alpha > 0.0:
-            return x + self.residual_alpha * h.astype(x.dtype)
-        return h.astype(x.dtype)
+            out = x + self.residual_alpha * h.astype(x.dtype)
+        else:
+            out = h.astype(x.dtype)
+        from jax.ad_checkpoint import checkpoint_name
+        return checkpoint_name(out, "ffn_out")
 
 
 class ConvModule(nn.Module):
@@ -476,12 +479,12 @@ class ConvModule(nn.Module):
                 if rate > 0.0:
                     from cat_tpu.ops.dropout_pallas import key_to_seed
                     seed = key_to_seed(self.make_rng("dropout"))
-                return fused_bn_out(
+                return checkpoint_name(fused_bn_out(
                     conv_out, x, mask, use_mean, use_var, scale, bias,
                     d2.variables["params"]["kernel"],
                     d2.variables["params"]["bias"],
                     dropout_rate=rate, seed=seed,
-                    interpret=(mode == "interpret"))
+                    interpret=(mode == "interpret")), "conv_mod_out")
             h = (h - use_mean) * jax.lax.rsqrt(use_var + 1e-5)
             h = h * scale + bias
         else:
@@ -491,8 +494,8 @@ class ConvModule(nn.Module):
         h = Dropout(self.dropout_rate)(h, deterministic)
         out = jnp.where(mask[:, :, None], h.astype(x.dtype), 0.0)
         if self.residual:
-            return x + out
-        return out
+            out = x + out
+        return checkpoint_name(out, "conv_mod_out")
 
 
 class ConformerCell(nn.Module):

@@ -49,6 +49,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
+# raise the scoped-VMEM cap past the 16 MB compiler default (empirically
+# fine on this part; lets larger NB blocks and deeper pipelining compile)
+VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def _round_up(x, m):
@@ -566,7 +569,7 @@ def _pick_nb(N, Tp, D, Dh, *, bwd, env=None):
         return max(1, nb)
     per = (4 * Tp * Tp + 2.5 * Tp * D if bwd
            else 2 * Tp * Tp + 1.5 * Tp * D) * 4 + 8 * Tp * Dh * 2
-    budget = 10 * 2 ** 20 if bwd else 12 * 2 ** 20
+    budget = 20 * 2 ** 20 if bwd else 24 * 2 ** 20
     nb = 8
     while nb > 1 and (N % nb or nb * per > budget):
         nb //= 2
@@ -611,6 +614,8 @@ def _pallas_fwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed, scale,
                         pltpu.VMEM((Tp, D), a.dtype),
                         pltpu.VMEM((Tp, D), a.dtype),
                         pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(seed, q, k, v, w, a, b_t, c, vt, kbias, ub, vb)
     return o, lse
@@ -669,6 +674,8 @@ def _pallas_bwd_decomp(q, k, v, w, tabs, kbias, ub, vb, seed, lse, do,
                         pltpu.VMEM((Tp, D), a.dtype),
                         pltpu.VMEM((Tp, D), a.dtype),
                         pltpu.SemaphoreType.DMA((4,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
         interpret=interpret,
     )(seed, q, k, v, w, a, b_t, c, vt, kbias, ub, vb, lse, do, dd)
     return dq, dk, dv, dw, dub, dvb

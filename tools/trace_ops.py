@@ -55,6 +55,60 @@ def parse_xplane(logdir, topk=40):
                   f"{name[:90]}")
 
 
+def parse_grouped(logdir, divide_by=1):
+    """Aggregate TensorCore op time into coarse groups (lever table)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    files = sorted(glob.glob(os.path.join(
+        logdir, "plugins/profile/*/*.xplane.pb")))
+    assert files, f"no xplane under {logdir}"
+    xs = xplane_pb2.XSpace()
+    xs.ParseFromString(open(files[-1], "rb").read())
+
+    def group_of(name):
+        n = name.lower()
+        if "pallas_call" in n or "custom-call" in n:
+            return "pallas kernels (attn+ffn+conv_mod+dropout)"
+        if "convolution" in n or "conv" in n and "fusion" in n:
+            return "convolutions"
+        if "dot" in n or "dot_general" in n:
+            return "matmul"
+        if "dynamic-update-slice" in n or "dynamic_update" in n:
+            return "dynamic-update-slice (residual stacks)"
+        if "copy" in n or "bitcast" in n or "transpose" in n:
+            return "copies/transposes"
+        if "reduce" in n:
+            return "reduces"
+        if "fusion" in n:
+            return "loop fusions (elementwise)"
+        if "pad" in n or "slice" in n:
+            return "pad/slice"
+        return "other"
+
+    for plane in xs.planes:
+        if plane.name != "/device:TPU:0":
+            continue
+        tot = defaultdict(float)
+        cnt = defaultdict(int)
+        ops = defaultdict(float)
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                m = plane.event_metadata[ev.metadata_id].name
+                g = group_of(m)
+                tot[g] += ev.duration_ps / 1e9
+                cnt[g] += 1
+                ops[(g, m.split(" = ")[0])] += ev.duration_ps / 1e9
+        total = sum(tot.values())
+        print(f"device-busy total: {total/divide_by:.1f} ms/step")
+        for g, ms in sorted(tot.items(), key=lambda x: -x[1]):
+            print(f"  {ms/divide_by:8.1f} ms  {100*ms/total:5.1f}%  "
+                  f"{g}  (x{cnt[g]})")
+        print("top ops:")
+        for (g, m), ms in sorted(ops.items(), key=lambda x: -x[1])[:25]:
+            print(f"  {ms/divide_by:8.2f} ms  [{g[:28]}] {m[:70]}")
+
+
 def trace_attn():
     from cat_tpu.ops import attention_pallas as ap
     N, T, H, Dh, D = 128, 400, 8, 64, 512
@@ -108,3 +162,7 @@ if __name__ == "__main__":
     what = sys.argv[1] if len(sys.argv) > 1 else "attn"
     if what == "attn":
         trace_attn()
+    elif what == "grouped":
+        parse_grouped(sys.argv[2],
+                      divide_by=int(sys.argv[3])
+                      if len(sys.argv) > 3 else 1)
