@@ -264,6 +264,11 @@ class ConformerNet(nn.Module):
         # keep the inter-cell residual stream in compute dtype: halves
         # the nn.scan carry stack (num_cells, N, T', D) saved for bwd
         h = h.astype(dtype)
+        from cat_tpu.utils.flags import resolve
+        if resolve("pad_time8") == "1" and h.shape[1] % 8:
+            # masked no-op frames; makes the attention kernels' 8-row
+            # padding an identity so no per-cell pad copies happen
+            h = jnp.pad(h, ((0, 0), (0, (-h.shape[1]) % 8), (0, 0)))
         h = Dropout(self.dropout_rate)(h, deterministic)
         cell_kw = dict(d_model=self.hdim, num_heads=self.num_heads,
                        kernel_size=self.kernel_size, ff_expansion=4,

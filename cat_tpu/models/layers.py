@@ -224,12 +224,15 @@ class RelPositionMultiHeadAttention(nn.Module):
         v_bias = v_bias.astype(self.dtype)
         from cat_tpu.utils.flags import resolve
         flash = resolve("flash_attn")
-        # gate to one device unless forced: GSPMD has no partitioning
-        # rule for an opaque pallas_call, so under a multi-chip mesh it
-        # would all-gather the activations around the kernel. Multi-chip
-        # flash needs a shard_map wrap (CAT_TPU_FLASH_ATTN=force to
-        # override once that is in place for your config).
-        if flash == "1" and jax.device_count() > 1:
+        # multi-chip: only the packed decomp kernel carries a
+        # custom_partitioning rule (ops/partitioning.py); the older
+        # layouts would make GSPMD all-gather activations around the
+        # opaque pallas_call, so gate those off under a mesh
+        # (CAT_TPU_FLASH_ATTN=force to override).
+        packed_ok = (resolve("flash_attn_packed") in ("1", "interpret")
+                     and resolve("flash_attn_decomp")
+                     in ("1", "interpret") and T <= 512)
+        if flash == "1" and jax.device_count() > 1 and not packed_ok:
             flash = ""
         if flash == "force":
             flash = "1"
@@ -244,6 +247,33 @@ class RelPositionMultiHeadAttention(nn.Module):
                 seed = key_to_seed(self.make_rng("dropout"))
             decomp_flag = resolve("flash_attn_decomp")
             decomp = decomp_flag in ("1", "interpret") and T <= 512
+            packed_flag = resolve("flash_attn_packed")
+            if (decomp and packed_flag in ("1", "interpret")):
+                # packed-layout variant: q/k/v stay in the projection's
+                # (N, T, H·Dh) layout (reshape is free) — no transpose
+                # or relayout around the kernel (~36 ms/step of
+                # pad+transpose fusions at the flagship shape); heads
+                # loop inside the kernel over lane slices
+                from jax.ad_checkpoint import checkpoint_name
+                from cat_tpu.ops.attention_pallas import \
+                    flash_relpos_attention_packed
+                w = pos_dense(jnp.eye(D, dtype=self.dtype))
+                interp = (packed_flag == "interpret"
+                          or decomp_flag == "interpret"
+                          or flash == "interpret")
+                out = flash_relpos_attention_packed(
+                    q.reshape(N, T, D), k.reshape(N, T, D),
+                    v.reshape(N, T, D), w, u_bias, v_bias, mask,
+                    scale=1.0 / float(np.sqrt(Dh)), dropout_rate=rate,
+                    seed=seed, interpret=interp)
+                out = checkpoint_name(out, "flash_attn")
+                out = jnp.where(mask[:, :, None], out,
+                                jnp.zeros((), out.dtype))
+                out = nn.DenseGeneral(
+                    D, axis=(-2, -1), dtype=self.dtype,
+                    name="out")(out.reshape(N, T, H, Dh)
+                                .astype(self.dtype))
+                return out.astype(x.dtype)
             if decomp:
                 # shear-free variant: fold the sinusoid basis into trig
                 # tables so rel-pos scores become one MXU matmul (the
@@ -337,11 +367,9 @@ class FFModule(nn.Module):
     def __call__(self, x, deterministic=True):
         from cat_tpu.utils.flags import resolve
         mode = resolve("fused_ffn")
-        # same multi-chip gate as flash_attn: GSPMD cannot partition an
-        # opaque pallas_call (CAT_TPU_FUSED_FFN=force to override once
-        # a shard_map wrap exists for your config)
-        if mode == "1" and jax.device_count() > 1:
-            mode = ""
+        # multi-chip: ops/ffn_pallas.py registers custom_partitioning
+        # rules (rows sharded, weights replicated, dW psum'd), so the
+        # fused path stays on under a data-parallel mesh
         if mode == "force":
             mode = "1"
         D = x.shape[-1]

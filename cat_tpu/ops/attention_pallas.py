@@ -553,6 +553,428 @@ def _bwd_kernel_decomp(seed_ref, q_ref, k_ref, v_ref, w_ref, a_ref,
         dvb_ref[...] = dvbs_ref[...].reshape(dvb_ref.shape)
 
 
+def _fwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, w_ref, a_ref,
+                       b_ref, c_ref, vt_ref, kb_ref, ub_ref, vb_ref,
+                       o_ref, lse_ref, ws, atab, btab, ctab, vtab, sem,
+                       *, scale, rate, H, b, D, Dh, NB):
+    """Packed-layout decomp attention: q/k/v/o are (NB, b, H·Dh) blocks
+    straight from the projection outputs — no (N,T,H,Dh)→(N,H,T,Dh)
+    transpose or relayout ever happens in XLA-land (those pad+transpose
+    fusions measured ~36 ms/step at the flagship shape). Heads are an
+    in-kernel loop over 64-lane slices."""
+    nb = pl.program_id(0)
+    _load_tables_once(nb == 0,
+                      (a_ref, b_ref, c_ref, vt_ref, w_ref),
+                      (atab, btab, ctab, vtab, ws), sem)
+    q = q_ref[...]                  # (NB, b, F)
+    k = k_ref[...]
+    v = v_ref[...]
+    ub = ub_ref[...].astype(q.dtype)  # (1, F)
+    vb = vb_ref[...].astype(q.dtype)
+    kb = kb_ref[:, 0][:, None, :]     # (NB, 1, b)
+    a = atab[...].astype(jnp.float32)
+    b_t = btab[...].astype(jnp.float32)
+    c = ctab[...].astype(jnp.float32)
+    batched = (((2,), (2,)), ((0,), (0,)))
+    for h in range(H):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        qh = q[:, :, sl]
+        kh = k[:, :, sl]
+        vh = v[:, :, sl]
+        w = ws[h]                   # (Dh, D)
+        s = jax.lax.dot_general(qh + ub[:, sl][None], kh, batched,
+                                preferred_element_type=jnp.float32)
+        qv2 = (qh + vb[:, sl][None]).reshape(NB * b, Dh)
+        r = jax.lax.dot_general(qv2, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        u = _build_u(r.reshape(NB, b, D), a, b_t, c, D)
+        bd = jax.lax.dot_general(
+            u.reshape(NB * b, D).astype(vtab.dtype), vtab[...],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = (s + bd.reshape(NB, b, b)) * scale + kb
+        m = jnp.max(s, axis=2, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=2, keepdims=True)
+        if rate > 0.0:
+            keeps = []
+            for i in range(NB):
+                pltpu.prng_seed(seed_ref[0],
+                                _tile_seed(seed_ref, nb * NB + i, h,
+                                           0, 0, H, 1, 1))
+                keeps.append(_dropout_keep((b, b), _thr(rate)))
+            keep = jnp.stack(keeps)
+            e = jnp.where(keep, e * (1.0 / (1.0 - rate)), 0.0)
+        acc = jax.lax.dot_general(e.astype(vh.dtype), vh,
+                                  (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        o_ref[:, :, sl] = (acc / jnp.maximum(l, 1e-30)).astype(
+            o_ref.dtype)
+        lse_ref[:, h, :] = jnp.reshape(
+            m + jnp.log(jnp.maximum(l, 1e-30)), (NB, b))
+
+
+def _bwd_kernel_packed(seed_ref, q_ref, k_ref, v_ref, w_ref, a_ref,
+                       b_ref, c_ref, vt_ref, kb_ref, ub_ref, vb_ref,
+                       lse_ref, do_ref, dd_ref,
+                       dq_ref, dk_ref, dv_ref, dw_ref, dub_ref,
+                       dvb_ref,
+                       ws, atab, btab, ctab, vtab, dws, dubs, dvbs,
+                       sem,
+                       *, scale, rate, H, b, D, Dh, NB):
+    nb = pl.program_id(0)
+    _load_tables_once(nb == 0,
+                      (a_ref, b_ref, c_ref, vt_ref, w_ref),
+                      (atab, btab, ctab, vtab, ws), sem)
+
+    @pl.when(nb == 0)
+    def _init_p():
+        dws[...] = jnp.zeros_like(dws)
+        dubs[...] = jnp.zeros_like(dubs)
+        dvbs[...] = jnp.zeros_like(dvbs)
+
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    do = do_ref[...]
+    ub = ub_ref[...].astype(q.dtype)
+    vb = vb_ref[...].astype(q.dtype)
+    kb = kb_ref[:, 0][:, None, :]
+    a = atab[...].astype(jnp.float32)
+    b_t = btab[...].astype(jnp.float32)
+    c = ctab[...].astype(jnp.float32)
+    batched = (((2,), (2,)), ((0,), (0,)))
+    for h in range(H):
+        sl = slice(h * Dh, (h + 1) * Dh)
+        qh = q[:, :, sl]
+        kh = k[:, :, sl]
+        vh = v[:, :, sl]
+        doh = do[:, :, sl]
+        w = ws[h]
+        qu = qh + ub[:, sl][None]
+        qv = qh + vb[:, sl][None]
+        s = jax.lax.dot_general(qu, kh, batched,
+                                preferred_element_type=jnp.float32)
+        qv2 = qv.reshape(NB * b, Dh)
+        r = jax.lax.dot_general(qv2, w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        u = _build_u(r.reshape(NB, b, D), a, b_t, c, D)
+        bd = jax.lax.dot_general(
+            u.reshape(NB * b, D).astype(vtab.dtype), vtab[...],
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = (s + bd.reshape(NB, b, b)) * scale + kb
+        p_ = jnp.exp(s - lse_ref[:, h, :][:, :, None])   # (NB, b, b)
+
+        dpmat = jax.lax.dot_general(doh, vh, batched,
+                                    preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keeps = []
+            for i in range(NB):
+                pltpu.prng_seed(seed_ref[0],
+                                _tile_seed(seed_ref, nb * NB + i, h,
+                                           0, 0, H, 1, 1))
+                keeps.append(_dropout_keep((b, b), _thr(rate)))
+            keep = jnp.stack(keeps)
+            inv = 1.0 / (1.0 - rate)
+            p_drop = jnp.where(keep, p_ * inv, 0.0)
+            dpmat = jnp.where(keep, dpmat * inv, 0.0)
+        else:
+            p_drop = p_
+        dv_ref[:, :, sl] = jax.lax.dot_general(
+            p_drop.astype(doh.dtype), doh,
+            (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        ds = p_ * (dpmat - dd_ref[:, h, :][:, :, None]) * scale
+        dsl = ds.astype(kh.dtype)
+        dqu = jax.lax.dot_general(dsl, kh, (((2,), (1,)), ((0,), (0,))),
+                                  preferred_element_type=jnp.float32)
+        dk_ref[:, :, sl] = jax.lax.dot_general(
+            dsl, qu, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        du = jax.lax.dot_general(dsl.reshape(NB * b, b), vtab[...],
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        du = du.reshape(NB, b, D)
+        dr = (du * a
+              + pltpu.roll(du * b_t, 1, axis=2)
+              + pltpu.roll(du * c, D - 1, axis=2))
+        dr2 = dr.reshape(NB * b, D)
+        drl = dr2.astype(w.dtype)
+        dqv = jax.lax.dot_general(drl, w, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        dqv = dqv.reshape(NB, b, Dh)
+        dq_ref[:, :, sl] = (dqu + dqv).astype(dq_ref.dtype)
+        dws[h] += jax.lax.dot_general(
+            qv2.astype(jnp.float32), dr2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dubs[:, sl] += jnp.sum(dqu, axis=(0, 1))[None]
+        dvbs[:, sl] += jnp.sum(dqv, axis=(0, 1))[None]
+
+    @pl.when(nb == pl.num_programs(0) - 1)
+    def _flush():
+        dw_ref[...] = dws[...]
+        dub_ref[...] = dubs[...]
+        dvb_ref[...] = dvbs[...]
+
+
+def _pallas_fwd_packed(q, k, v, w, tabs, kbias, ub, vb, seed, scale,
+                       rate, interpret):
+    N, Tp, F = q.shape
+    H, Dh, D = w.shape
+    a, b_t, c, vt = tabs
+    NB = _pick_nb_packed(N, Tp, F, D)
+    kernel = functools.partial(_fwd_kernel_packed, scale=scale,
+                               rate=rate, H=H, b=Tp, D=D, Dh=Dh, NB=NB)
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=(N // NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((NB, 1, Tp), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((1, F), lambda nb: (0, 0)),
+            pl.BlockSpec((1, F), lambda nb: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((NB, H, Tp), lambda nb: (nb, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Tp, F), q.dtype),
+            jax.ShapeDtypeStruct((N, H, Tp), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((H, Dh, D), w.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(seed, q, k, v, w, a, b_t, c, vt, kbias, ub, vb)
+    return o, lse
+
+
+def _pallas_bwd_packed(q, k, v, w, tabs, kbias, ub, vb, seed, lse, do,
+                       dd, scale, rate, interpret):
+    N, Tp, F = q.shape
+    H, Dh, D = w.shape
+    a, b_t, c, vt = tabs
+    NB = _pick_nb_packed(N, Tp, F, D, bwd=True)
+    kernel = functools.partial(_bwd_kernel_packed, scale=scale,
+                               rate=rate, H=H, b=Tp, D=D, Dh=Dh, NB=NB)
+    f32 = jnp.float32
+    dq, dk, dv, dw, dub, dvb = pl.pallas_call(
+        kernel,
+        grid=(N // NB,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((NB, 1, Tp), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((1, F), lambda nb: (0, 0)),
+            pl.BlockSpec((1, F), lambda nb: (0, 0)),
+            pl.BlockSpec((NB, H, Tp), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((NB, H, Tp), lambda nb: (nb, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((NB, Tp, F), lambda nb: (nb, 0, 0)),
+            pl.BlockSpec((H, Dh, D), lambda nb: (0, 0, 0)),
+            pl.BlockSpec((1, F), lambda nb: (0, 0)),
+            pl.BlockSpec((1, F), lambda nb: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Tp, F), q.dtype),
+            jax.ShapeDtypeStruct((N, Tp, F), q.dtype),
+            jax.ShapeDtypeStruct((N, Tp, F), q.dtype),
+            jax.ShapeDtypeStruct((H, Dh, D), f32),
+            jax.ShapeDtypeStruct((1, F), f32),
+            jax.ShapeDtypeStruct((1, F), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((H, Dh, D), w.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((Tp, D), a.dtype),
+                        pltpu.VMEM((H, Dh, D), f32),
+                        pltpu.VMEM((1, F), f32),
+                        pltpu.VMEM((1, F), f32),
+                        pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=interpret,
+    )(seed, q, k, v, w, a, b_t, c, vt, kbias, ub, vb, lse, do, dd)
+    return dq, dk, dv, dw, dub, dvb
+
+
+def _pick_nb_packed(N, Tp, F, D, bwd=False):
+    import os
+    key = "CAT_TPU_FLASH_NB_BWD" if bwd else "CAT_TPU_FLASH_NB_FWD"
+    v = os.environ.get(key)
+    if v:
+        nb = max(1, int(v))
+        while N % nb:
+            nb //= 2
+        return max(1, nb)
+    # per-item f32 live set ~ (b,b)·(2 or 4) + (b,D)·(1.5 or 2.5),
+    # plus the packed q/k/v/o (do/dq/dk/dv in bwd) bf16 block tiles
+    per = ((4 * Tp * Tp + 2.5 * Tp * D if bwd
+            else 2 * Tp * Tp + 1.5 * Tp * D) * 4
+           + (8 if bwd else 4) * Tp * F * 2)
+    budget = 20 * 2 ** 20 if bwd else 24 * 2 ** 20
+    nb = 8
+    while nb > 1 and (N % nb or nb * per > budget):
+        nb //= 2
+    return nb
+
+
+def _fwd_packed_flat(q, k, v, w, a, b_t, c, vt, kbias, ub, vb, seed,
+                     scale, rate, interpret):
+    return _pallas_fwd_packed(q, k, v, w, (a, b_t, c, vt), kbias, ub,
+                              vb, seed, scale, rate, interpret)
+
+
+def _bwd_packed_flat(q, k, v, w, a, b_t, c, vt, kbias, ub, vb, seed,
+                     lse, do, dd, scale, rate, interpret):
+    return _pallas_bwd_packed(q, k, v, w, (a, b_t, c, vt), kbias, ub,
+                              vb, seed, lse, do, dd, scale, rate,
+                              interpret)
+
+
+from cat_tpu.ops.partitioning import (make_row_partitioned,
+                                      use_partitioned)
+
+# multi-chip: batch dim sharded, weights/tables replicated, dw/dub/dvb
+# partial-sums psum'd — keeps the fused path on under a data mesh
+_fwd_packed_part = make_row_partitioned(
+    _fwd_packed_flat, static_argnums=(12, 13, 14),
+    row_args=(0, 1, 2, 8),
+    out_specs=("row", "row"),
+    rule="n t f, n t f, n t f, h dh dp, t1 d1, t2 d2, t3 d3, t4 d4, "
+         "n k1 kt, u1 uf, v1 vf, sd -> n t f, n h2 t5")
+_bwd_packed_part = make_row_partitioned(
+    _bwd_packed_flat, static_argnums=(15, 16, 17),
+    row_args=(0, 1, 2, 8, 12, 13, 14),
+    out_specs=("row", "row", "row", "psum", "psum", "psum"),
+    rule="n t f, n t f, n t f, h dh dp, t1 d1, t2 d2, t3 d3, t4 d4, "
+         "n k1 kt, u1 uf, v1 vf, sd, n h2 t5, n t f, n h3 t6 "
+         "-> n t f, n t f, n t f, oh odh odp, ou1 ouf, ov1 ovf")
+
+
+def _fwd_packed_dispatch(q, k, v, w, tabs, kbias, ub, vb, seed, scale,
+                         rate, interpret):
+    if use_partitioned():
+        return _fwd_packed_part(q, k, v, w, *tabs, kbias, ub, vb,
+                                seed, scale, rate, interpret)
+    return _pallas_fwd_packed(q, k, v, w, tabs, kbias, ub, vb, seed,
+                              scale, rate, interpret)
+
+
+def _bwd_packed_dispatch(q, k, v, w, tabs, kbias, ub, vb, seed, lse,
+                         do, dd, scale, rate, interpret):
+    if use_partitioned():
+        return _bwd_packed_part(q, k, v, w, *tabs, kbias, ub, vb,
+                                seed, lse, do, dd, scale, rate,
+                                interpret)
+    return _pallas_bwd_packed(q, k, v, w, tabs, kbias, ub, vb, seed,
+                              lse, do, dd, scale, rate, interpret)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _flash_core_packed(q, k, v, w, tabs, kbias, ub, vb, seed, scale,
+                       rate, interpret):
+    o, _ = _fwd_packed_dispatch(q, k, v, w, tabs, kbias, ub, vb, seed,
+                                scale, rate, interpret)
+    return o
+
+
+def _flash_core_packed_fwd(q, k, v, w, tabs, kbias, ub, vb, seed,
+                           scale, rate, interpret):
+    o, lse = _fwd_packed_dispatch(q, k, v, w, tabs, kbias, ub, vb,
+                                  seed, scale, rate, interpret)
+    from jax.ad_checkpoint import checkpoint_name
+    o = checkpoint_name(o, "flash_attn")
+    lse = checkpoint_name(lse, "flash_attn_lse")
+    return o, (q, k, v, w, tabs, kbias, ub, vb, seed, o, lse)
+
+
+def _flash_core_packed_bwd(scale, rate, interpret, res, g):
+    q, k, v, w, tabs, kbias, ub, vb, seed, o, lse = res
+    N, Tp, F = q.shape
+    H, Dh, D = w.shape
+    # per-head dd: sum g*o over that head's lanes only
+    dd = jnp.sum(
+        (g.astype(jnp.float32) * o.astype(jnp.float32)).reshape(
+            N, Tp, H, Dh), axis=-1)
+    dd = jnp.transpose(dd, (0, 2, 1))                   # (N, H, Tp)
+    dq, dk, dv, dw, dub, dvb = _bwd_packed_dispatch(
+        q, k, v, w, tabs, kbias, ub, vb, seed, lse, g.astype(q.dtype),
+        dd, scale, rate, interpret)
+    return (dq, dk, dv, dw.astype(w.dtype), (None,) * 4, None,
+            dub.astype(ub.dtype), dvb.astype(vb.dtype), None)
+
+
+_flash_core_packed.defvjp(_flash_core_packed_fwd,
+                          _flash_core_packed_bwd)
+
+
+def flash_relpos_attention_packed(q, k, v, w, u_bias, v_bias, kmask,
+                                  *, scale=None, dropout_rate=0.0,
+                                  seed=None, interpret=False):
+    """Shear-free fused rel-pos attention, packed layout.
+
+    q, k, v: (N, T, F) with F = H·Dh packed head-major (i.e. the
+    DenseGeneral (H, Dh) output reshaped — a free reshape). Returns
+    (N, T, F). No transposes: blocks stream directly from/to the
+    projection layout; heads are an in-kernel lane-slice loop.
+    w: (D, H, Dh) pos-projection kernel; u_bias/v_bias (H, Dh).
+    """
+    N, T, F = q.shape
+    D, H, Dh = w.shape
+    assert H * Dh == F and D % 2 == 0
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(Dh))
+    if seed is None:
+        seed = jnp.zeros((2,), jnp.int32)
+    Tp = _round_up(T, 8)
+
+    def prep(x):
+        if Tp == T:
+            return x
+        return jnp.pad(x, ((0, 0), (0, Tp - T), (0, 0)))
+
+    kb = jnp.where(
+        jnp.pad(kmask, ((0, 0), (0, Tp - T))), 0.0,
+        NEG).astype(jnp.float32)[:, None, :]
+    a, b_t, c, vt = (jnp.asarray(x) for x in _decomp_tables(Tp, D))
+    tabs = (a.astype(q.dtype), b_t.astype(q.dtype),
+            c.astype(q.dtype), vt.astype(q.dtype))
+    wk = jnp.transpose(w, (1, 2, 0))        # (H, Dh, D) — tiny
+    o = _flash_core_packed(
+        prep(q), prep(k), prep(v), wk, tabs, kb,
+        u_bias.reshape(1, F), v_bias.reshape(1, F), seed,
+        float(scale), float(dropout_rate), interpret)
+    return o[:, :T]
+
+
 def _pick_nb(N, Tp, D, Dh, *, bwd, env=None):
     """Largest batch-block that divides N and fits a VMEM budget.
 

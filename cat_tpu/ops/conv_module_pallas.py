@@ -121,8 +121,9 @@ def _glu_in_bwd_kernel(x_ref, m_ref, g_ref, b_ref, w_ref, bw_ref,
         db_ref[...] = dbs[...]
 
 
-def _glu_in_pallas(x, m, gamma, beta, w, bw, interpret, BR):
+def _glu_in_pallas(x, m, gamma, beta, w, bw, interpret):
     R, D = x.shape
+    BR = _pick_br(R)
     kernel = functools.partial(_glu_in_fwd_kernel, BR=BR, D=D)
     row = lambda i: (i, 0)
     const = lambda i: (0, 0)
@@ -147,8 +148,9 @@ def _glu_in_pallas(x, m, gamma, beta, w, bw, interpret, BR):
     )(x, m, gamma, beta, w, bw)
 
 
-def _glu_in_bwd_pallas(x, m, gamma, beta, w, bw, do, interpret, BR):
+def _glu_in_bwd_pallas(x, m, gamma, beta, w, bw, do, interpret):
     R, D = x.shape
+    BR = _pick_br(R)
     f32 = jnp.float32
     kernel = functools.partial(_glu_in_bwd_kernel, BR=BR, D=D)
     row = lambda i: (i, 0)
@@ -191,20 +193,37 @@ def _glu_in_bwd_pallas(x, m, gamma, beta, w, bw, do, interpret, BR):
     )(x, m, gamma, beta, w, bw, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _glu_in_core(x, m, gamma, beta, w, bw, interpret, BR):
-    return _glu_in_pallas(x, m, gamma, beta, w, bw, interpret, BR)
+from cat_tpu.ops.partitioning import (make_row_partitioned,
+                                      use_partitioned)
+
+_glu_in_part = make_row_partitioned(
+    _glu_in_pallas, static_argnums=(6,), row_args=(0, 1),
+    out_specs=("row",),
+    rule="i d, i m1, g1 d, g2 d, wa wf, ba wf -> i d")
+_glu_in_bwd_part = make_row_partitioned(
+    _glu_in_bwd_pallas, static_argnums=(7,), row_args=(0, 1, 6),
+    out_specs=("row", "psum", "psum", "psum", "psum"),
+    rule="i d, i m1, g1 d, g2 d, wa wf, ba wf, i d "
+         "-> i d, o1 od, o2 od2, owa owf, oba obf")
 
 
-def _glu_in_core_fwd(x, m, gamma, beta, w, bw, interpret, BR):
-    o = _glu_in_pallas(x, m, gamma, beta, w, bw, interpret, BR)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _glu_in_core(x, m, gamma, beta, w, bw, interpret):
+    f = _glu_in_part if use_partitioned() else _glu_in_pallas
+    return f(x, m, gamma, beta, w, bw, interpret)
+
+
+def _glu_in_core_fwd(x, m, gamma, beta, w, bw, interpret):
+    f = _glu_in_part if use_partitioned() else _glu_in_pallas
+    o = f(x, m, gamma, beta, w, bw, interpret)
     return o, (x, m, gamma, beta, w, bw)
 
 
-def _glu_in_core_bwd(interpret, BR, res, g):
+def _glu_in_core_bwd(interpret, res, g):
     x, m, gamma, beta, w, bw = res
-    dx, dg, db, dw, dbw = _glu_in_bwd_pallas(
-        x, m, gamma, beta, w, bw, g.astype(x.dtype), interpret, BR)
+    f = _glu_in_bwd_part if use_partitioned() else _glu_in_bwd_pallas
+    dx, dg, db, dw, dbw = f(
+        x, m, gamma, beta, w, bw, g.astype(x.dtype), interpret)
     return (dx, None, dg.astype(gamma.dtype), db.astype(beta.dtype),
             dw.astype(w.dtype), dbw.astype(bw.dtype))
 
@@ -301,8 +320,9 @@ def _bn_out_bwd_kernel(seed_ref, c_ref, x_ref, m_ref, mu_ref, var_ref,
 
 
 def _bn_out_pallas(seed, c, x, m, mu, var, scale, bias, w, bw, rate,
-                   interpret, BR):
+                   interpret):
     R, D = x.shape
+    BR = _pick_br(R)
     kernel = functools.partial(_bn_out_fwd_kernel, rate=rate, BR=BR,
                                D=D)
     row = lambda i: (i, 0)
@@ -333,8 +353,9 @@ def _bn_out_pallas(seed, c, x, m, mu, var, scale, bias, w, bw, rate,
 
 
 def _bn_out_bwd_pallas(seed, c, x, m, mu, var, scale, bias, w, bw, do,
-                       rate, interpret, BR):
+                       rate, interpret):
     R, D = x.shape
+    BR = _pick_br(R)
     f32 = jnp.float32
     kernel = functools.partial(_bn_out_bwd_kernel, rate=rate, BR=BR,
                                D=D)
@@ -388,25 +409,39 @@ def _bn_out_bwd_pallas(seed, c, x, m, mu, var, scale, bias, w, bw, do,
     )(seed, c, x, m, mu, var, scale, bias, w, bw, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+_bn_out_part = make_row_partitioned(
+    _bn_out_pallas, static_argnums=(10, 11), row_args=(1, 2, 3),
+    out_specs=("row",),
+    rule="sd, i d, i d, i m1, u1 d, v1 d, s1 d, bb1 d, wa wb, bw1 d "
+         "-> i d")
+_bn_out_bwd_part = make_row_partitioned(
+    _bn_out_bwd_pallas, static_argnums=(11, 12), row_args=(1, 2, 3, 10),
+    out_specs=("row", "psum", "psum", "psum", "psum", "psum", "psum"),
+    rule="sd, i d, i d, i m1, u1 d, v1 d, s1 d, bb1 d, wa wb, bw1 d, "
+         "i d -> i d, a1 ad, a2 ad2, a3 ad3, a4 ad4, awa awb, ab1 abd")
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def _bn_out_core(seed, c, x, m, mu, var, scale, bias, w, bw, rate,
-                 interpret, BR):
-    return _bn_out_pallas(seed, c, x, m, mu, var, scale, bias, w, bw,
-                          rate, interpret, BR)
+                 interpret):
+    f = _bn_out_part if use_partitioned() else _bn_out_pallas
+    return f(seed, c, x, m, mu, var, scale, bias, w, bw, rate,
+             interpret)
 
 
 def _bn_out_core_fwd(seed, c, x, m, mu, var, scale, bias, w, bw, rate,
-                     interpret, BR):
-    o = _bn_out_pallas(seed, c, x, m, mu, var, scale, bias, w, bw,
-                       rate, interpret, BR)
+                     interpret):
+    f = _bn_out_part if use_partitioned() else _bn_out_pallas
+    o = f(seed, c, x, m, mu, var, scale, bias, w, bw, rate, interpret)
     return o, (seed, c, x, m, mu, var, scale, bias, w, bw)
 
 
-def _bn_out_core_bwd(rate, interpret, BR, res, g):
+def _bn_out_core_bwd(rate, interpret, res, g):
     seed, c, x, m, mu, var, scale, bias, w, bw = res
-    dc, dmu, dvar, dscale, dbias, dw, dbw = _bn_out_bwd_pallas(
+    f = _bn_out_bwd_part if use_partitioned() else _bn_out_bwd_pallas
+    dc, dmu, dvar, dscale, dbias, dw, dbw = f(
         seed, c, x, m, mu, var, scale, bias, w, bw, g.astype(x.dtype),
-        rate, interpret, BR)
+        rate, interpret)
     return (None, dc, g, None, dmu.reshape(mu.shape),
             dvar.reshape(var.shape), dscale.reshape(scale.shape),
             dbias.reshape(bias.shape), dw.astype(w.dtype),
@@ -438,10 +473,9 @@ def fused_glu_in(x, mask, gamma, beta, w, b, *, interpret=False):
         R, 1).astype(jnp.float32)
     if Rp != R:
         mr = jnp.pad(mr, ((0, Rp - R), (0, 0)))
-    BR = _pick_br(Rp)
     out = _glu_in_core(xr, mr, gamma.reshape(1, D), beta.reshape(1, D),
                        w.astype(x.dtype), b.reshape(1, 2 * D),
-                       interpret, BR)
+                       interpret)
     return out[:R].reshape(shape)
 
 
@@ -457,10 +491,9 @@ def fused_bn_out(conv, x, mask, mean, var, scale, bias, w, b, *,
         mr = jnp.pad(mr, ((0, Rp - R), (0, 0)))
     if seed is None:
         seed = jnp.zeros((2,), jnp.int32)
-    BR = _pick_br(Rp)
     out = _bn_out_core(seed, cr.astype(x.dtype), xr, mr,
                        mean.reshape(1, D), var.reshape(1, D),
                        scale.reshape(1, D), bias.reshape(1, D),
                        w.astype(x.dtype), b.reshape(1, D),
-                       float(dropout_rate), interpret, BR)
+                       float(dropout_rate), interpret)
     return out[:R].reshape(shape)

@@ -45,6 +45,10 @@ from cat_tpu.ops.semiring import LOG_EPS
 
 LN10 = math.log(10.0)
 
+# inner-scan unroll factor for the per-frame recursions (see seg_step)
+import os as _os
+UNROLL = int(_os.environ.get("CAT_TPU_DEN_UNROLL", "8"))
+
 
 class DenseDen:
     """Host-expanded dense denominator tables. V includes blank at 0;
@@ -246,8 +250,11 @@ def _forward(log_probs, input_lengths, expw, final, K):
     def seg_step(carry, xs):
         ys, ts = xs
         snapshot = carry  # alphas at segment start
+        # unroll: the while-loop per-iteration overhead (~50 us/frame on
+        # the tunneled v5e) dwarfs the per-frame einsum; unrolled frames
+        # amortize it across the segment
         carry, _ = jax.lax.scan(lambda c, x: (step(c, x)[0], None),
-                                carry, (ys, ts))
+                                carry, (ys, ts), unroll=UNROLL)
         return carry, snapshot
 
     (ain_T, abl_T), snaps = jax.lax.scan(seg_step, (a_in0, a_bl0),
@@ -345,9 +352,11 @@ def _den_bwd(den, res, g):
         ys, ts, snap = xs
         # recompute the K in-segment (pre-update) alphas from the
         # segment-start snapshot
-        _, (ains, abls) = jax.lax.scan(astep, snap, (ys, ts))
+        _, (ains, abls) = jax.lax.scan(astep, snap, (ys, ts),
+                                       unroll=UNROLL)
         betas, grad_rows = jax.lax.scan(
-            beta_step, betas, (ys, ains, abls, ts), reverse=True)
+            beta_step, betas, (ys, ains, abls, ts), reverse=True,
+            unroll=UNROLL)
         return betas, grad_rows
 
     beta0 = (jnp.broadcast_to(final[None], (N, V, V)),

@@ -190,10 +190,11 @@ def _pick_br(R):
     return R
 
 
-def _fwd(x, gamma, beta, w1, b1, w2, b2, seed, alpha, rate, interpret,
-         BR):
+def _fwd(x, gamma, beta, w1, b1, w2, b2, seed, alpha, rate,
+         interpret):
     R, D = x.shape
     F = w1.shape[1]
+    BR = _pick_br(R)
     kernel = functools.partial(_ff_fwd_kernel, alpha=alpha, rate=rate,
                                BR=BR, D=D, F=F)
     assert R % BR == 0
@@ -225,9 +226,10 @@ def _fwd(x, gamma, beta, w1, b1, w2, b2, seed, alpha, rate, interpret,
 
 
 def _bwd(x, gamma, beta, w1, b1, w2, b2, seed, do, alpha, rate,
-         interpret, BR):
+         interpret):
     R, D = x.shape
     F = w1.shape[1]
+    BR = _pick_br(R)
     f32 = jnp.float32
     kernel = functools.partial(_ff_bwd_kernel, alpha=alpha, rate=rate,
                                BR=BR, D=D, F=F)
@@ -281,25 +283,120 @@ def _bwd(x, gamma, beta, w1, b1, w2, b2, seed, do, alpha, rate,
     return outs
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
+# ---- multi-chip: shard the kernels over the row dim (data axis) ----
+#
+# GSPMD cannot see inside a pallas_call; without a rule it would
+# all-gather the activations around the kernel (the reason round 2/3
+# gated the fused paths off under multi-chip). These wrappers declare
+# the natural partitioning: x / do / dx sharded on rows, weights and
+# their grads replicated (per-shard dW partial sums are psum'd in the
+# partitioned backward). Dropout caveat: tile seeds are shard-local, so
+# shards at the same tile index draw the same mask pattern (applied to
+# different data — statistically benign, documented here).
+
+from jax.experimental.custom_partitioning import custom_partitioning
+
+
+def _row_spec(sharding, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        spec = sharding.spec
+    except AttributeError:
+        return NamedSharding(mesh, P())
+    row = spec[0] if len(spec) > 0 else None
+    return NamedSharding(mesh, P(row, None))
+
+
+def _repl(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P())
+
+
+def _make_fwd_partitioned():
+    cp = custom_partitioning(_fwd, static_argnums=(8, 9, 10))
+
+    def infer(alpha, rate, interpret, mesh, arg_shapes, result_shape):
+        return _row_spec(arg_shapes[0].sharding, mesh)
+
+    def partition(alpha, rate, interpret, mesh, arg_shapes,
+                  result_shape):
+        xs = _row_spec(arg_shapes[0].sharding, mesh)
+        arg_sh = (xs,) + tuple(_repl(mesh) for _ in arg_shapes[1:])
+
+        def lower(*args):
+            return _fwd(*args, alpha, rate, interpret)
+
+        return mesh, lower, xs, arg_sh
+
+    cp.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule="i d, g1 d, g2 d, wa f, b1a f, fb db, b2a d, sd "
+                      "-> i d")
+    return cp
+
+
+def _make_bwd_partitioned():
+    cp = custom_partitioning(_bwd, static_argnums=(9, 10, 11))
+
+    def infer(alpha, rate, interpret, mesh, arg_shapes, result_shape):
+        xs = _row_spec(arg_shapes[0].sharding, mesh)
+        return (xs,) + tuple(_repl(mesh) for _ in range(6))
+
+    def partition(alpha, rate, interpret, mesh, arg_shapes,
+                  result_shape):
+        xs = _row_spec(arg_shapes[0].sharding, mesh)
+        arg_sh = ((xs,) + tuple(_repl(mesh) for _ in arg_shapes[1:-1])
+                  + (xs,))
+        out_sh = (xs,) + tuple(_repl(mesh) for _ in range(6))
+        axes = tuple(a for a in (xs.spec[0],) if a is not None)
+
+        def lower(*args):
+            outs = _bwd(*args, alpha, rate, interpret)
+            if axes:
+                # param grads are partial sums over this shard's rows
+                outs = tuple(o if i == 0 else jax.lax.psum(o, axes)
+                             for i, o in enumerate(outs))
+            return outs
+
+        return mesh, lower, out_sh, arg_sh
+
+    cp.def_partition(
+        partition=partition, infer_sharding_from_operands=infer,
+        sharding_rule="i d, g1 d, g2 d, wa f, b1a f, fb db, b2a d, "
+                      "sd, i d -> i d, g1x dx, g2x dx, wax fx, "
+                      "b1ax fx, fbx dbx, b2ax dy")
+    return cp
+
+
+_fwd_part = _make_fwd_partitioned()
+_bwd_part = _make_bwd_partitioned()
+
+
+def _use_partitioned():
+    return jax.device_count() > 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _ff_core(x, gamma, beta, w1, b1, w2, b2, seed, alpha, rate,
-             interpret, BR):
-    return _fwd(x, gamma, beta, w1, b1, w2, b2, seed, alpha, rate,
-                interpret, BR)
+             interpret):
+    f = _fwd_part if _use_partitioned() else _fwd
+    return f(x, gamma, beta, w1, b1, w2, b2, seed, alpha, rate,
+             interpret)
 
 
 def _ff_core_fwd(x, gamma, beta, w1, b1, w2, b2, seed, alpha, rate,
-                 interpret, BR):
-    o = _fwd(x, gamma, beta, w1, b1, w2, b2, seed, alpha, rate,
-             interpret, BR)
+                 interpret):
+    f = _fwd_part if _use_partitioned() else _fwd
+    o = f(x, gamma, beta, w1, b1, w2, b2, seed, alpha, rate, interpret)
     return o, (x, gamma, beta, w1, b1, w2, b2, seed)
 
 
-def _ff_core_bwd(alpha, rate, interpret, BR, res, g):
+def _ff_core_bwd(alpha, rate, interpret, res, g):
     x, gamma, beta, w1, b1, w2, b2, seed = res
-    dx, dg, db, dw1, db1, dw2, db2 = _bwd(
+    f = _bwd_part if _use_partitioned() else _bwd
+    dx, dg, db, dw1, db1, dw2, db2 = f(
         x, gamma, beta, w1, b1, w2, b2, seed, g.astype(x.dtype), alpha,
-        rate, interpret, BR)
+        rate, interpret)
     return (dx, dg.astype(gamma.dtype), db.astype(beta.dtype),
             dw1.astype(w1.dtype), db1.astype(b1.dtype),
             dw2.astype(w2.dtype), db2.astype(b2.dtype), None)
@@ -328,12 +425,11 @@ def fused_ff_residual(x, gamma, beta, w1, b1, w2, b2, *, alpha=0.5,
         # zero rows are safe through the whole chain (LN of zeros is
         # finite, grads of padded rows vanish); sliced off below
         xr = jnp.pad(xr, ((0, Rp - R), (0, 0)))
-    BR = _pick_br(Rp)
     dt = x.dtype
     out = _ff_core(xr, gamma.reshape(1, D), beta.reshape(1, D),
                    w1.astype(dt), b1.reshape(1, -1),
                    w2.astype(dt), b2.reshape(1, D), seed,
-                   float(alpha), float(dropout_rate), interpret, BR)
+                   float(alpha), float(dropout_rate), interpret)
     return out[:R].reshape(orig_shape)
 
 

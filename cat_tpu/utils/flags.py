@@ -22,6 +22,13 @@ _DEFAULTS = {
     # shear-free rel-pos decomposition inside the flash kernel (trig
     # tables + one MXU matmul instead of lane-roll shears)
     "flash_attn_decomp": "auto",
+    # packed-layout decomp kernel: q/k/v in projection layout
+    # (N, T, H*Dh), heads looped in-kernel — no transposes around the
+    # kernel
+    "flash_attn_packed": "auto",
+    # pad the encoder's post-subsampling time dim to a multiple of 8 so
+    # the attention kernels' row padding is a no-op
+    "pad_time8": "auto",
     # round-2 on-chip A/B (bench shapes): pallas CTC grad 5.8 ms vs
     # scan 9.1 ms; pallas RNN-T grad 9.1 vs 9.6 — default on for TPU
     "ctc_impl": "auto",        # auto: pallas on TPU, XLA scan elsewhere

@@ -15,7 +15,8 @@ from cat_tpu.models.layers import ConvModule, length_mask
 def _setup(N=2, T=50, D=128, seed=0):
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
-    lengths = jnp.asarray([T, T - 13])
+    lengths = jnp.asarray(
+        [T - (13 * i) % max(1, T // 2) for i in range(N)])
     mask = length_mask(lengths, T)
     mod = ConvModule(d_model=D, kernel_size=8, residual=True)
     vs = mod.init(jax.random.PRNGKey(0), x, mask,
@@ -81,3 +82,30 @@ def test_fused_conv_module_grads(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(vk), np.asarray(vr), rtol=5e-4, atol=5e-4,
             err_msg=jax.tree_util.keystr(pr))
+
+
+def test_fused_conv_module_sharded(monkeypatch):
+    """Fused conv module under a batch-sharded 8-device mesh matches
+    the unsharded fused result (custom_partitioning rules)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    mod, vs, x, mask = _setup(N=8, T=32, D=128, seed=6)
+    monkeypatch.setenv("CAT_TPU_FUSED_CONV_MOD", "interpret")
+    rng = np.random.default_rng(3)
+    wt = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+
+    def loss(params, x):
+        out, _ = mod.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]},
+            x, mask, deterministic=False, mutable=["batch_stats"])
+        return jnp.sum(out * wt)
+
+    g_ref = jax.jit(jax.grad(loss, argnums=(0, 1)))(vs["params"], x)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    g_sh = jax.jit(jax.grad(loss, argnums=(0, 1)))(vs["params"], xs)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    flat_s = jax.tree_util.tree_leaves(g_sh)
+    for i, (gr, gk) in enumerate(zip(flat_r, flat_s)):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"leaf{i}")

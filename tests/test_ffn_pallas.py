@@ -114,3 +114,33 @@ def test_module_grads_integration(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(vk), np.asarray(vr), rtol=3e-4, atol=3e-4,
             err_msg=jax.tree_util.keystr(pr))
+
+
+def test_fused_ff_sharded_matches_single():
+    """custom_partitioning: row-sharded input over the 8-device CPU
+    mesh matches the unsharded result, fwd and grads (weights/grads
+    replicated, dW psum'd across shards)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    N, T, D, F = 8, 32, 128, 256
+    p = _params(D, F, seed=9)
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    wt = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    keys = ["gamma", "beta", "w1", "b1", "w2", "b2"]
+    args = tuple(p[k] for k in keys)
+
+    def loss(x, args):
+        return jnp.sum(fused_ff_residual(x, *args, alpha=0.5,
+                                         interpret=True) * wt)
+
+    g_ref = jax.jit(jax.grad(loss, argnums=(0, 1)))(x, args)
+
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    g_sh = jax.jit(jax.grad(loss, argnums=(0, 1)))(xs, args)
+    np.testing.assert_allclose(np.asarray(g_sh[0]),
+                               np.asarray(g_ref[0]),
+                               rtol=1e-4, atol=1e-4, err_msg="dx")
+    for name, gr, gk in zip(keys, g_ref[1], g_sh[1]):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)

@@ -217,9 +217,9 @@ def test_pipeline_yesno_rnnt_cuside(yesno_data_big, tmp_path):
     # beta: small per-emission reward counters the under-emission bias
     # of an undertrained transducer (cat/rnnt/decode.py beta option)
     hyper = base_hyper(yesno_data, train_bin="cat_tpu.rnnt.train_unified",
-                       opts={"max_epochs": 250},
+                       opts={"max_epochs": 400},
                        decode={"mode": "streaming", "beam_width": 4,
-                               "beta": 0.6})
+                               "beta": 0.8})
     config = {
         "encoder": ENC,
         "predictor": {"type": "LSTMPredictor",
@@ -239,7 +239,7 @@ def test_pipeline_yesno_rnnt_cuside(yesno_data_big, tmp_path):
     hyper_full["inference"] = {"split": "dev",
                                "decode": {"mode": "beam",
                                           "beam_width": 4,
-                                          "beta": 0.6}}
+                                          "beta": 0.8}}
     from cat_tpu.pipeline import asr
     cfg = json.loads((tmp_path / "exp" / "config.json").read_text())
     from cat_tpu.utils import tokenizer as tknz

@@ -92,6 +92,64 @@ def check_decomp_parity(N, T, H, Dh, D, dtype, tol, precision=None):
     return ok
 
 
+def check_packed_parity(N, T, H, Dh, D, dtype, tol):
+    """Packed-layout kernel vs the (N,H,T,Dh) decomp kernel on device,
+    fwd + grads (both paths bf16; the decomp path is itself validated
+    against the XLA reference above)."""
+    from cat_tpu.ops.attention_pallas import (
+        flash_relpos_attention_decomp, flash_relpos_attention_packed)
+    q, k, v, w, u, vb, kmask = _inputs_w(N, T, H, Dh, D, dtype)
+    F = H * Dh
+    wt = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (N, T, H, Dh)), jnp.float32) * kmask[:, :, None, None]
+
+    def loss_ref(args):
+        q, k, v, w, u, vb = args
+        return jnp.sum(flash_relpos_attention_decomp(
+            q, k, v, w, u, vb, kmask).astype(jnp.float32) * wt)
+
+    def loss_pk(args):
+        q, k, v, w, u, vb = args
+        out = flash_relpos_attention_packed(
+            q.reshape(N, T, F), k.reshape(N, T, F),
+            v.reshape(N, T, F), w, u, vb, kmask)
+        return jnp.sum(out.reshape(N, T, H, Dh).astype(jnp.float32)
+                       * wt)
+
+    args = (q, k, v, w, u, vb)
+    l1 = float(jax.jit(loss_ref)(args))
+    l2 = float(jax.jit(loss_pk)(args))
+    rel = abs(l1 - l2) / (abs(l1) + 1e-9)
+    ok = rel < tol
+    print(f"packed fwd N={N} T={T} {np.dtype(dtype).name}: loss "
+          f"{l1:.4f} vs {l2:.4f} rel {rel:.2e} "
+          f"({'ok' if ok else 'FAIL'})")
+    g1 = jax.jit(jax.grad(loss_ref))(args)
+    g2 = jax.jit(jax.grad(loss_pk))(args)
+    for gr, gk, name in zip(g1, g2, "q k v w u vb".split()):
+        gr = np.asarray(gr, np.float32)
+        gk = np.asarray(gk, np.float32)
+        gerr = np.max(np.abs(gr - gk)) / (np.max(np.abs(gr)) + 1e-9)
+        gs = "ok" if gerr < tol else "FAIL"
+        print(f"  grad d{name}: rel-err {gerr:.2e} ({gs})")
+        ok = ok and gerr < tol
+    return ok
+
+
+def _inputs_w(N, T, H, Dh, D, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((N, T, H, Dh)), dtype)
+    k = jnp.asarray(rng.standard_normal((N, T, H, Dh)), dtype)
+    v = jnp.asarray(rng.standard_normal((N, T, H, Dh)), dtype)
+    w = jnp.asarray(rng.standard_normal((D, H, Dh)) * 0.2, dtype)
+    u = jnp.asarray(rng.standard_normal((H, Dh)) * 0.1, dtype)
+    vb = jnp.asarray(rng.standard_normal((H, Dh)) * 0.1, dtype)
+    lengths = rng.integers(max(1, T // 2), T + 1, size=N)
+    lengths[0] = T
+    kmask = jnp.arange(T)[None, :] < jnp.asarray(lengths)[:, None]
+    return q, k, v, w, u, vb, kmask
+
+
 def check_fused_ff_device(dtype, tol):
     """Fused FF on device: parity (no dropout), dropout determinism and
     fwd/bwd mask consistency via a directional derivative."""
@@ -243,6 +301,7 @@ def main():
     ok &= check_decomp_parity(2, 197, 4, 64, 256, jnp.float32, 3e-3,
                               precision="float32")
     ok &= check_decomp_parity(2, 399, 8, 64, 512, jnp.bfloat16, 3e-2)
+    ok &= check_packed_parity(4, 197, 8, 64, 512, jnp.bfloat16, 3e-2)
     with jax.default_matmul_precision("float32"):
         ok &= check_fused_ff_device(jnp.float32, 3e-4)
     ok &= check_fused_ff_device(jnp.bfloat16, 3e-2)
