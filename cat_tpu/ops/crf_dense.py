@@ -47,7 +47,7 @@ LN10 = math.log(10.0)
 
 # inner-scan unroll factor for the per-frame recursions (see seg_step)
 import os as _os
-UNROLL = int(_os.environ.get("CAT_TPU_DEN_UNROLL", "8"))
+UNROLL = int(_os.environ.get("CAT_TPU_DEN_UNROLL", "1"))  # 8 measured SLOWER on-device (while-loop group 44 -> 71 ms/step)
 
 
 class DenseDen:
