@@ -835,11 +835,13 @@ def _pick_nb_packed(N, Tp, F, D, bwd=False):
             nb //= 2
         return max(1, nb)
     # per-item f32 live set ~ (b,b)·(2 or 4) + (b,D)·(1.5 or 2.5),
-    # plus the packed q/k/v/o (do/dq/dk/dv in bwd) bf16 block tiles
+    # plus the packed q/k/v/o (do/dq/dk/dv in bwd) bf16 block tiles.
+    # bwd budget 32 MB → NB=4 at the flagship shape: measured 2841 vs
+    # 2817 audio-s/s at NB=2 (NB=8 fwd + BR=512 FF both OOM/crash)
     per = ((4 * Tp * Tp + 2.5 * Tp * D if bwd
             else 2 * Tp * Tp + 1.5 * Tp * D) * 4
            + (8 if bwd else 4) * Tp * F * 2)
-    budget = 20 * 2 ** 20 if bwd else 24 * 2 ** 20
+    budget = 32 * 2 ** 20 if bwd else 24 * 2 ** 20
     nb = 8
     while nb > 1 and (N % nb or nb * per > budget):
         nb //= 2
