@@ -902,6 +902,12 @@ def main(argv=None):
     hyper = load_json(os.path.join(args.expdir, "hyper-p.json"))
     config = load_json(os.path.join(args.expdir, "config.json"))
 
+    # perf-feature flags from config (env vars still override — see
+    # utils/flags.py): config.json {"perf": {"fused_ffn": "1", ...}}
+    if config.get("perf"):
+        from cat_tpu.utils.flags import set_flags
+        set_flags(**config["perf"])
+
     # task adapter: ME2E / JSA-SPG / LLM-P2G bins plug their own pack/
     # train/decode behind the uniform 4-stage contract (the reference
     # drives these through one pipeline via its Manager variants,

@@ -180,6 +180,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     hyper = load_json(os.path.join(args.expdir, "hyper-p.json"))
     config = load_json(os.path.join(args.expdir, "config.json"))
+    if config.get("perf"):
+        from cat_tpu.utils.flags import set_flags
+        set_flags(**config["perf"])
     tok = stage_tokenizer(args.expdir, hyper)
     print(f"[stage 1] tokenizer ready, vocab={tok.vocab_size}")
     if args.start_stage <= 2 <= args.stop_stage:

@@ -213,3 +213,54 @@ def test_syllable_converter(tmp_path):
     save_converter(p, conv, syls)
     conv2, _ = load_converter(p)
     assert conv2 == conv
+
+
+def test_perf_flags_config_and_env(monkeypatch):
+    """config "perf" sections reach the flag system via the pipeline
+    (set_flags), with env-var override and auto resolution."""
+    from cat_tpu.utils import flags
+
+    flags.reset_flags()
+    try:
+        flags.set_flags(fused_ffn="0", flash_attn="1")
+        assert flags.flag("fused_ffn") == "0"
+        assert flags.resolve("flash_attn") == "1"
+        # env beats config
+        monkeypatch.setenv("CAT_TPU_FUSED_FFN", "interpret")
+        assert flags.resolve("fused_ffn") == "interpret"
+        # "auto" resolves per backend (CPU in tests -> off)
+        flags.reset_flags()
+        assert flags.resolve("fused_conv_mod") == ""
+    finally:
+        flags.reset_flags()
+
+
+def test_pipeline_main_applies_perf(tmp_path, monkeypatch):
+    """asr.main forwards config.json "perf" to set_flags before any
+    stage runs (documented contract in utils/flags.py)."""
+    import json
+
+    from cat_tpu.pipeline import asr
+    from cat_tpu.utils import flags
+
+    called = {}
+    monkeypatch.setattr(
+        "cat_tpu.utils.flags.set_flags",
+        lambda **kw: called.update(kw))
+    exp = tmp_path / "exp"
+    exp.mkdir()
+    (exp / "hyper-p.json").write_text(json.dumps({
+        "data": {"train": str(tmp_path), "dev": str(tmp_path)},
+        "tokenizer": {"type": "SimpleTokenizer",
+                      "option": {"dmap": {"a": 1}}},
+        "train": {"bin": "cat_tpu.ctc.train", "option": {}},
+    }))
+    (exp / "config.json").write_text(json.dumps({
+        "perf": {"fused_ffn": "0"},
+        "encoder": {"type": "LSTM", "kwargs": {}},
+    }))
+    try:
+        asr.main([str(exp), "--stop_stage", "1"])
+    except Exception:
+        pass  # later stages may fail on the stub data; flags happen first
+    assert called == {"fused_ffn": "0"}
