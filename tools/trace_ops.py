@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 
 def parse_xplane(logdir, topk=40):
-    from xprof.convert import raw_to_tool_data as rtd
     files = glob.glob(os.path.join(
         logdir, "plugins/profile/*/*.xplane.pb"))
     assert files, f"no xplane under {logdir}"
