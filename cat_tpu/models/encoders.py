@@ -470,3 +470,8 @@ class EmbeddingEncoder(nn.Module):
         if self.with_head and self.num_classes > 0:
             h = nn.Dense(self.num_classes, name="classifier")(h)
         return h, lengths
+
+
+# config-selectable HF integration (trainable wav2vec2 trunk composed
+# as a flax submodule — models/pretrained.py)
+from cat_tpu.models.pretrained import Wav2Vec2Encoder  # noqa: E402,F401

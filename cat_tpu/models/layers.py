@@ -393,12 +393,16 @@ class FFModule(nn.Module):
                 from cat_tpu.ops.dropout_pallas import key_to_seed
                 seed = key_to_seed(self.make_rng("dropout"))
             from cat_tpu.ops.ffn_pallas import fused_ff_residual
-            return fused_ff_residual(
+            from jax.ad_checkpoint import checkpoint_name
+            out = fused_ff_residual(
                 x, p(ln, "scale"), p(ln, "bias"),
                 p(d1, "kernel"), p(d1, "bias"),
                 p(d2, "kernel"), p(d2, "bias"),
                 alpha=self.residual_alpha, dropout_rate=rate,
                 seed=seed, interpret=(mode == "interpret"))
+            # named like the stock path so remat policies that save
+            # "ffn_out" skip re-running the fused forward kernel
+            return checkpoint_name(out, "ffn_out")
         h = nn.LayerNorm(dtype=jnp.float32)(x)
         h = nn.Dense(F, dtype=self.dtype)(h)
         h = nn.silu(h)
@@ -433,8 +437,10 @@ class ConvModule(nn.Module):
     def __call__(self, x, mask, deterministic=True):
         from cat_tpu.utils.flags import resolve
         mode = resolve("fused_conv_mod")
-        if mode == "1" and jax.device_count() > 1:
-            mode = ""
+        # multi-chip: ops/conv_module_pallas.py registers
+        # custom_partitioning rules (rows sharded, weights replicated,
+        # dW psum'd) like the FF/attention kernels, so the fused path
+        # stays on under a data-parallel mesh
         if mode == "force":
             mode = "1"
         D = self.d_model

@@ -868,13 +868,13 @@ from cat_tpu.ops.partitioning import (make_row_partitioned,
 # partial-sums psum'd — keeps the fused path on under a data mesh
 _fwd_packed_part = make_row_partitioned(
     _fwd_packed_flat, static_argnums=(12, 13, 14),
-    row_args=(0, 1, 2, 8),
+    row_args=(0, 1, 2, 8), seed_arg=11,
     out_specs=("row", "row"),
     rule="n t f, n t f, n t f, h dh dp, t1 d1, t2 d2, t3 d3, t4 d4, "
          "n k1 kt, u1 uf, v1 vf, sd -> n t f, n h2 t5")
 _bwd_packed_part = make_row_partitioned(
     _bwd_packed_flat, static_argnums=(15, 16, 17),
-    row_args=(0, 1, 2, 8, 12, 13, 14),
+    row_args=(0, 1, 2, 8, 12, 13, 14), seed_arg=11,
     out_specs=("row", "row", "row", "psum", "psum", "psum"),
     rule="n t f, n t f, n t f, h dh dp, t1 d1, t2 d2, t3 d3, t4 d4, "
          "n k1 kt, u1 uf, v1 vf, sd, n h2 t5, n t f, n h3 t6 "

@@ -411,11 +411,13 @@ def _bn_out_bwd_pallas(seed, c, x, m, mu, var, scale, bias, w, bw, do,
 
 _bn_out_part = make_row_partitioned(
     _bn_out_pallas, static_argnums=(10, 11), row_args=(1, 2, 3),
+    seed_arg=0,
     out_specs=("row",),
     rule="sd, i d, i d, i m1, u1 d, v1 d, s1 d, bb1 d, wa wb, bw1 d "
          "-> i d")
 _bn_out_bwd_part = make_row_partitioned(
     _bn_out_bwd_pallas, static_argnums=(11, 12), row_args=(1, 2, 3, 10),
+    seed_arg=0,
     out_specs=("row", "psum", "psum", "psum", "psum", "psum", "psum"),
     rule="sd, i d, i d, i m1, u1 d, v1 d, s1 d, bb1 d, wa wb, bw1 d, "
          "i d -> i d, a1 ad, a2 ad2, a3 ad3, a4 ad4, awa awb, ab1 abd")

@@ -290,9 +290,10 @@ def _bwd(x, gamma, beta, w1, b1, w2, b2, seed, do, alpha, rate,
 # gated the fused paths off under multi-chip). These wrappers declare
 # the natural partitioning: x / do / dx sharded on rows, weights and
 # their grads replicated (per-shard dW partial sums are psum'd in the
-# partitioned backward). Dropout caveat: tile seeds are shard-local, so
-# shards at the same tile index draw the same mask pattern (applied to
-# different data — statistically benign, documented here).
+# partitioned backward). Dropout: the shard index is folded into the
+# seed (partitioning.offset_seed) so data-parallel shards draw
+# independent mask streams; fwd and bwd apply the same offset, so masks
+# stay consistent across the pair.
 
 from jax.experimental.custom_partitioning import custom_partitioning
 
@@ -322,8 +323,12 @@ def _make_fwd_partitioned():
                   result_shape):
         xs = _row_spec(arg_shapes[0].sharding, mesh)
         arg_sh = (xs,) + tuple(_repl(mesh) for _ in arg_shapes[1:])
+        axes = tuple(a for a in (xs.spec[0],) if a is not None)
 
         def lower(*args):
+            from cat_tpu.ops.partitioning import offset_seed
+            args = list(args)
+            args[7] = offset_seed(args[7], axes)
             return _fwd(*args, alpha, rate, interpret)
 
         return mesh, lower, xs, arg_sh
@@ -351,6 +356,9 @@ def _make_bwd_partitioned():
         axes = tuple(a for a in (xs.spec[0],) if a is not None)
 
         def lower(*args):
+            from cat_tpu.ops.partitioning import offset_seed
+            args = list(args)
+            args[7] = offset_seed(args[7], axes)
             outs = _bwd(*args, alpha, rate, interpret)
             if axes:
                 # param grads are partial sums over this shard's rows
@@ -373,7 +381,8 @@ _bwd_part = _make_bwd_partitioned()
 
 
 def _use_partitioned():
-    return jax.device_count() > 1
+    from cat_tpu.ops.partitioning import use_partitioned
+    return use_partitioned()
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))

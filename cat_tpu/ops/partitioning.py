@@ -38,14 +38,35 @@ def _repl(mesh):
     return NamedSharding(mesh, P())
 
 
+def _shard_index(axes):
+    """Flat index of this shard over the given mesh axes."""
+    idx = None
+    for ax in axes:
+        i = jax.lax.axis_index(ax)
+        idx = i if idx is None else idx * jax.lax.psum(1, ax) + i
+    return idx
+
+
+def offset_seed(seed, axes):
+    """Decorrelate a per-shard PRNG seed: fold the shard index into
+    seed[0] so data-parallel shards draw independent dropout masks
+    (with a replicated seed every shard would reuse the same tile
+    streams — statistically benign but avoidable)."""
+    if not axes:
+        return seed
+    return seed.at[0].add(_shard_index(axes))
+
+
 def make_row_partitioned(fn, *, static_argnums, row_args, out_specs,
-                         rule):
+                         rule, seed_arg=None):
     """Wrap `fn` (statics trailing) with a dim-0 row-sharding rule.
 
     row_args: indices of array args sharded on dim 0 (first = reference)
     out_specs: per-output 'row' | 'psum' ('psum' = replicated output
         that each shard computes as a partial sum over its rows)
     rule: sdy sharding-rule string for the shardy partitioner
+    seed_arg: index of a replicated PRNG-seed arg to decorrelate per
+        shard (see offset_seed)
     """
     from jax.experimental.custom_partitioning import custom_partitioning
     cp = custom_partitioning(fn, static_argnums=static_argnums)
@@ -78,6 +99,9 @@ def make_row_partitioned(fn, *, static_argnums, row_args, out_specs,
                                    None,) if ax is not None)
 
         def lower(*args):
+            if axes and seed_arg is not None:
+                args = list(args)
+                args[seed_arg] = offset_seed(args[seed_arg], axes)
             outs = fn(*args, *statics)
             if axes:
                 if isinstance(outs, (tuple, list)):
@@ -97,4 +121,23 @@ def make_row_partitioned(fn, *, static_argnums, row_args, out_specs,
 
 
 def use_partitioned():
+    """Route fused ops through their custom_partitioning wrappers.
+
+    Explicit override via the "partitioned" flag (CAT_TPU_PARTITIONED
+    0/1); otherwise prefer the ambient abstract mesh when one is active
+    (jax.sharding.use_mesh / shard_map contexts), falling back to the
+    global device count. The wrappers are semantically identical either
+    way — this only decides whether GSPMD sees a sharding rule or an
+    opaque single-device call."""
+    from cat_tpu.utils.flags import flag
+    v = flag("partitioned")
+    if v in ("0", "1"):
+        return v == "1"
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if m is not None and getattr(m, "size", 0) > 0:
+            if not getattr(m, "empty", False):
+                return m.size > 1
+    except Exception:
+        pass
     return jax.device_count() > 1

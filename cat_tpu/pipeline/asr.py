@@ -210,12 +210,17 @@ def stage_train(expdir, hyper, config, tok):
 
     den = None
     if loss_type == "crf":
+        # sharded mode: den LM from hyper["den_lm"]["path"], a cached
+        # expdir den_{dense,graph}.npz, or a label-only pre-pass over
+        # the shard files (reference: wenetspeech CRF through wds,
+        # cat/shared/manager.py:100-202)
+        pattern = None
         if sharded:
-            raise ValueError(
-                "CTC-CRF with sharded_data needs an explicit den LM: "
-                "den-LM estimation scans the packed train set (pack the "
-                "transcripts or train the den n-gram offline)")
-        den = build_den(expdir, hyper, tok, tr_ds)
+            pattern = str(sharded)
+            if os.path.isdir(pattern):
+                pattern = os.path.join(pattern, "shard-*.npz")
+        den = build_den(expdir, hyper, tok, tr_ds,
+                        shard_pattern=pattern)
     specaug_cfg = config.get("specaug")
 
     loader_kw = dict(frame_budget=opts.get("frame_budget", 20000),
@@ -459,16 +464,71 @@ def _write_exp_readme(expdir, hyper, config, state, tok):
         f.write("\n".join(lines) + "\n")
 
 
-def build_den(expdir, hyper, tok, tr_ds):
-    """Denominator LM from training transcripts (prep_den_lm.sh
-    equivalent). Uses the dense MXU expansion (ops.crf_dense) when the
-    unit vocabulary and LM order permit; arc tables otherwise."""
+def _den_from_path(path, tok, use_dense):
+    """Load an explicit denominator LM (hyper["den_lm"]["path"]):
+    .arpa (unit n-gram), .fst (OpenFST binary den LM), or .npz
+    (DenseDen / DenGraph cache, distinguished by keys)."""
+    from cat_tpu.fst.graph import DenGraph, build_den_fst
+    from cat_tpu.ops.crf import DenDevice
+    from cat_tpu.ops.crf_dense import DenseDen
+
+    low = path.lower()
+    if low.endswith(".arpa"):
+        from cat_tpu.fst.ngram import read_arpa
+
+        with open(path) as f:
+            lm = read_arpa(f, to_int=True)
+        if use_dense:
+            return DenseDen.from_ngram(lm, num_classes=tok.vocab_size)
+        return DenDevice.from_graph(DenGraph.from_fst(
+            build_den_fst(lm, num_classes=tok.vocab_size)))
+    if low.endswith(".fst"):
+        from cat_tpu.fst.fst import Fst
+
+        return DenDevice.from_graph(DenGraph.from_fst(
+            Fst.read_openfst(path)))
+    import numpy as np
+
+    with np.load(path) as z:
+        keys = set(z.files)
+    if "logw" in keys:  # DenseDen.save layout
+        return DenseDen.load(path)
+    return DenDevice.from_graph(DenGraph.load(path))
+
+
+def _shard_label_seqs(pattern):
+    """Transcript pre-pass over npz shards: yields each utterance's
+    label id sequence, reading only the (small) label arrays."""
+    import numpy as np
+
+    from cat_tpu.utils.data_sharded import expand_shards
+
+    shards = expand_shards(pattern)
+    if not shards:
+        raise FileNotFoundError(pattern)
+    for sh in shards:
+        with np.load(sh) as z:
+            labels, loffs = z["labels"], z["label_offsets"]
+            for i in range(len(loffs) - 1):
+                yield [int(x) for x in labels[loffs[i]:loffs[i + 1]]]
+
+
+def build_den(expdir, hyper, tok, tr_ds, shard_pattern=None):
+    """Denominator LM for CTC-CRF (prep_den_lm.sh equivalent). Sources,
+    in order: cached expdir den_{dense,graph}.npz → explicit
+    hyper["den_lm"]["path"] (.arpa/.fst/.npz) → n-gram estimated from
+    the packed train transcripts, or — in streaming-shards mode — from
+    a label-only pre-pass over the shard files (the reference trains
+    its wenetspeech CRF through wds the same way:
+    cat/shared/manager.py:100-202). Dense MXU expansion (ops.crf_dense)
+    when vocabulary and order permit; arc tables otherwise."""
     from cat_tpu.fst.graph import DenGraph, build_den_fst
     from cat_tpu.fst.ngram import train_ngram
     from cat_tpu.ops.crf import DenDevice
     from cat_tpu.ops.crf_dense import DenseDen
 
-    order = hyper.get("den_lm", {}).get("order", 3)
+    den_cfg = hyper.get("den_lm", {})
+    order = den_cfg.get("order", 3)
     use_dense = order <= 3 and tok.vocab_size <= 128
     dense_path = os.path.join(expdir, "den_dense.npz")
     graph_path = os.path.join(expdir, "den_graph.npz")
@@ -476,11 +536,20 @@ def build_den(expdir, hyper, tok, tr_ds):
         return DenseDen.load(dense_path)
     if not use_dense and os.path.exists(graph_path):
         return DenDevice.from_graph(DenGraph.load(graph_path))
-    seqs = []
-    for i in range(len(tr_ds)):
-        _, lab = tr_ds[i]
-        seqs.append([int(x) for x in lab])
-    lm = train_ngram(seqs, order=order)
+    if den_cfg.get("path"):
+        return _den_from_path(den_cfg["path"], tok, use_dense)
+    if tr_ds is not None:
+        seqs = ([int(x) for x in tr_ds[i][1]]
+                for i in range(len(tr_ds)))
+    elif shard_pattern is not None:
+        seqs = _shard_label_seqs(shard_pattern)
+    else:
+        raise ValueError(
+            "CTC-CRF needs a denominator LM: provide hyper "
+            '"den_lm": {"path": ...} (.arpa/.fst/.npz), a cached '
+            "den_dense.npz/den_graph.npz under the expdir, or a "
+            "packed/sharded train set to estimate one from")
+    lm = train_ngram(list(seqs), order=order)
     if use_dense:
         den = DenseDen.from_ngram(lm, num_classes=tok.vocab_size)
         den.save(dense_path)

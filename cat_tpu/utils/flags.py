@@ -39,6 +39,10 @@ _DEFAULTS = {
     # fused conv-module entry/exit stages around the XLA depthwise conv
     # + batch stats (ops/conv_module_pallas.py)
     "fused_conv_mod": "auto",
+    # route fused ops through their custom_partitioning wrappers:
+    # "" = auto (ambient mesh if any, else device_count>1), "0"/"1"
+    # force off/on (ops/partitioning.py use_partitioned)
+    "partitioned": "",
 }
 
 
