@@ -108,16 +108,18 @@ def main():
                                 "scan_layers": os.environ.get("BENCH_SCAN", "0") == "1",
                                 "remat": os.environ.get(
                                     "BENCH_REMAT", "1") == "1",
-                                # save MXU outputs except the expanding
-                                # FF/GLU ones: fastest policy that fits
-                                # batch 96 (see encoders.py)
-                                # round-3: save only the flash-
-                                # attention outputs; recompute
-                                # projections (fewer stacked scan
-                                # residuals, ~4 GB freed -> batch 128)
+                                # round-5: flash_mods (save the fused
+                                # attention outputs AND each module's
+                                # output) — the backward stops re-
+                                # running the fused FF/conv forward
+                                # kernels. Became a win once the fused
+                                # FF path actually emitted the
+                                # "ffn_out" checkpoint name (round-4
+                                # measured it WORSE for exactly that
+                                # reason): 2831 -> 3072 audio-s/s.
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY",
-                                    "flash_only"),
+                                    "flash_mods"),
                                 "subsampling_remat": os.environ.get(
                                     "BENCH_SUB_REMAT", "0") == "1",
                                 "subsampling_chunk": int(os.environ.get(
@@ -204,7 +206,7 @@ def bench_rnnt():
                                 "remat": True,
                                 "remat_policy": os.environ.get(
                                     "BENCH_REMAT_POLICY",
-                                    "flash_only"),
+                                    "flash_mods"),
                                 "subsampling_remat": os.environ.get(
                                     "BENCH_SUB_REMAT", "0") == "1"}},
          "predictor": {"type": "LSTMPredictor",

@@ -299,6 +299,15 @@ class ConformerNet(nn.Module):
                 policy = jax.checkpoint_policies.save_only_these_names(
                     "flash_attn", "flash_attn_lse", "ffn_out",
                     "conv_mod_out")
+            elif self.remat_policy == "flash_ffn":
+                # flash_only + the two FF-module outputs per cell: the
+                # backward stops re-running the fused-FF forward
+                # kernels (~1.3 ms/cell of pure re-forward under
+                # flash_only) without also pinning the conv-module
+                # output (flash_mods' extra residency made XLA remat
+                # elsewhere and measured WORSE end-to-end in round 4)
+                policy = jax.checkpoint_policies.save_only_these_names(
+                    "flash_attn", "flash_attn_lse", "ffn_out")
             elif self.remat_policy == "flash_only":
                 # leanest residual set: keep only the fused attention
                 # kernel outputs and recompute every projection in the

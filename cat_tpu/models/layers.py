@@ -255,13 +255,22 @@ class RelPositionMultiHeadAttention(nn.Module):
                 # pad+transpose fusions at the flagship shape); heads
                 # loop inside the kernel over lane slices
                 from jax.ad_checkpoint import checkpoint_name
-                from cat_tpu.ops.attention_pallas import \
-                    flash_relpos_attention_packed
+                from cat_tpu.ops.attention_pallas import (
+                    flash_relpos_attention_band,
+                    flash_relpos_attention_packed)
                 w = pos_dense(jnp.eye(D, dtype=self.dtype))
+                band_flag = resolve("flash_attn_band")
                 interp = (packed_flag == "interpret"
                           or decomp_flag == "interpret"
-                          or flash == "interpret")
-                out = flash_relpos_attention_packed(
+                          or flash == "interpret"
+                          or band_flag == "interpret")
+                # band variant: minimal-rank rel-pos scores (chunked
+                # projected table) instead of the D-wide decomp
+                # matmuls — see ops/attention_pallas.py band section
+                kern = (flash_relpos_attention_band
+                        if band_flag in ("1", "interpret")
+                        else flash_relpos_attention_packed)
+                out = kern(
                     q.reshape(N, T, D), k.reshape(N, T, D),
                     v.reshape(N, T, D), w, u_bias, v_bias, mask,
                     scale=1.0 / float(np.sqrt(Dh)), dropout_rate=rate,

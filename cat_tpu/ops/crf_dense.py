@@ -201,10 +201,14 @@ def _alpha_step(expw, eye, input_lengths, carry, xs):
     a_in, a_bl = carry
     y_t, t = xs
     # emission into context (b, u): from post-blank (any u) or from
-    # in-phone (direct switch, u != b); contraction over `a`.
-    t1 = _emit_contract(a_bl, expw)                 # (N, b, u)
-    t2 = jnp.where(eye[None, :, :], LOG_EPS,
-                   _emit_contract(a_in, expw))
+    # in-phone (direct switch, u != b); contraction over `a`. The two
+    # sources share expw, so one stacked (2N, a, b) contraction halves
+    # the in-loop op count (the scan is per-iteration-overhead-bound
+    # on this backend, not FLOP-bound).
+    both = _emit_contract(jnp.concatenate([a_bl, a_in], axis=0), expw)
+    N = a_in.shape[0]
+    t1 = both[:N]                                   # (N, b, u)
+    t2 = jnp.where(eye[None, :, :], LOG_EPS, both[N:])
     emit = _lse_pair(t1, t2) + y_t[:, None, :]
     stay = a_in + y_t[:, None, :]                   # + y[c2]
     new_in = _clamp(_lse_pair(stay, emit))
@@ -310,9 +314,13 @@ def _den_bwd(den, res, g):
         active = (t < input_lengths)[:, None, None]
         # rhs[n, b, u] = y[u] + beta_in^{t+1}[(b, u)]  (emission target)
         rhs = y_t[:, None, :] + b_in
-        E_all = _beta_contract(rhs, expw)              # any u → (N, a, b)
         rhs_m = jnp.where(eye[None], LOG_EPS, rhs)
-        E_norep = _beta_contract(rhs_m, expw)          # u != b
+        # one stacked contraction for both variants (see _alpha_step)
+        E_both = _beta_contract(jnp.concatenate([rhs, rhs_m], axis=0),
+                                expw)
+        N_ = rhs.shape[0]
+        E_all = E_both[:N_]                            # any u → (N, a, b)
+        E_norep = E_both[N_:]                          # u != b
         blank_term = y_t[:, 0][:, None, None] + b_bl
         # stay at (a, b): y[b] + beta_in^{t+1}[a, b] — numerically the
         # same array as rhs, read with axes (a, b).
@@ -328,8 +336,10 @@ def _den_bwd(den, res, g):
         g_stay = jnp.sum(jnp.where(sc_stay <= LOG_EPS / 2, 0.0,
                                    jnp.exp(sc_stay)), axis=1)  # (N, V_u)
         # emit: (T1 ⊕ T2m)[b,u] + y[u] + b_in[b,u]
-        t1 = _emit_contract(a_bl, expw)
-        t2 = jnp.where(eye[None], LOG_EPS, _emit_contract(a_in, expw))
+        t_both = _emit_contract(jnp.concatenate([a_bl, a_in], axis=0),
+                                expw)
+        t1 = t_both[:N_]
+        t2 = jnp.where(eye[None], LOG_EPS, t_both[N_:])
         sc_emit = _lse_pair(t1, t2) + \
             jnp.broadcast_to(y_t[:, None, :], t1.shape) + b_in \
             - logz_safe[:, None, None]

@@ -29,6 +29,10 @@ _DEFAULTS = {
     # pad the encoder's post-subsampling time dim to a multiple of 8 so
     # the attention kernels' row padding is a no-op
     "pad_time8": "auto",
+    # chunked projected-table rel-pos scores inside the packed kernel
+    # (minimal Dh-rank bd/du instead of the D-wide decomp matmuls);
+    # requires flash_attn_packed
+    "flash_attn_band": "",
     # round-2 on-chip A/B (bench shapes): pallas CTC grad 5.8 ms vs
     # scan 9.1 ms; pallas RNN-T grad 9.1 vs 9.6 — default on for TPU
     "ctc_impl": "auto",        # auto: pallas on TPU, XLA scan elsewhere

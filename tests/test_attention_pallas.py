@@ -357,3 +357,124 @@ def test_packed_sharded_matches_single():
         np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
                                    rtol=1e-4, atol=1e-4,
                                    err_msg=f"leaf{i}")
+
+
+# ---- band kernel (flash_relpos_attention_band) ----
+
+from cat_tpu.ops.attention_pallas import flash_relpos_attention_band
+
+
+@pytest.mark.parametrize("N,T,H,Dh,D", [
+    (2, 50, 2, 32, 64),     # single chunk (rc = Tp)
+    (4, 96, 2, 64, 128),    # rc=32: multiple chunks + NB blocking
+    (2, 200, 2, 64, 128),   # partial last chunk
+])
+def test_band_forward_matches_reference(N, T, H, Dh, D):
+    q, k, v, w, u, vb, kmask = _w_inputs(N, T, H, Dh, D)
+    ref = relpos_attention_reference(q, k, v, _p_of_w(w, T), u, vb,
+                                     kmask)
+    F = H * Dh
+    out = flash_relpos_attention_band(
+        q.reshape(N, T, F), k.reshape(N, T, F), v.reshape(N, T, F),
+        w, u, vb, kmask, interpret=True)
+    out = out.reshape(N, T, H, Dh)
+    qvalid = np.asarray(kmask)[:, :, None, None]
+    np.testing.assert_allclose(np.where(qvalid, np.asarray(out), 0.0),
+                               np.where(qvalid, np.asarray(ref), 0.0),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_band_grads_match_reference():
+    N, T, H, Dh, D = 2, 64, 2, 32, 64
+    q, k, v, w, u, vb, kmask = _w_inputs(N, T, H, Dh, D, seed=11)
+    F = H * Dh
+    wt = jnp.asarray(
+        np.random.default_rng(6).standard_normal((N, T, H, Dh)),
+        jnp.float32) * kmask[:, :, None, None]
+
+    def loss_ref(args):
+        q, k, v, w, u, vb = args
+        return jnp.sum(relpos_attention_reference(
+            q, k, v, _p_of_w(w, T), u, vb, kmask) * wt)
+
+    def loss_ker(args):
+        q, k, v, w, u, vb = args
+        out = flash_relpos_attention_band(
+            q.reshape(N, T, F), k.reshape(N, T, F),
+            v.reshape(N, T, F), w, u, vb, kmask, interpret=True)
+        return jnp.sum(out.reshape(N, T, H, Dh) * wt)
+
+    args = (q, k, v, w, u, vb)
+    g_ref = jax.grad(loss_ref)(args)
+    g_ker = jax.grad(loss_ker)(args)
+    for gr, gk, name in zip(g_ref, g_ker, "q k v w u vb".split()):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=3e-4, atol=3e-4, err_msg=name)
+
+
+def test_band_matches_packed_kernel():
+    """The band and decomp formulations compute the same math — their
+    outputs must agree to bf16-class tolerance at a padded-T shape."""
+    N, T, H, Dh, D = 2, 70, 4, 32, 128
+    q, k, v, w, u, vb, kmask = _w_inputs(N, T, H, Dh, D, seed=5)
+    F = H * Dh
+    args = (q.reshape(N, T, F), k.reshape(N, T, F), v.reshape(N, T, F),
+            w, u, vb, kmask)
+    a = flash_relpos_attention_packed(*args, interpret=True)
+    b = flash_relpos_attention_band(*args, interpret=True)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_band_layer_integration(monkeypatch):
+    from cat_tpu.models.layers import (RelPositionMultiHeadAttention,
+                                       length_mask)
+    N, T, D, H = 2, 70, 64, 4
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((N, T, D)), jnp.float32)
+    lengths = jnp.asarray([T, T - 17])
+    mask = length_mask(lengths, T)
+    mod = RelPositionMultiHeadAttention(num_heads=H, d_model=D)
+    params = mod.init(jax.random.PRNGKey(0), x, mask)
+    ref = mod.apply(params, x, mask)
+    monkeypatch.setenv("CAT_TPU_FLASH_ATTN", "interpret")
+    monkeypatch.setenv("CAT_TPU_FLASH_ATTN_DECOMP", "interpret")
+    monkeypatch.setenv("CAT_TPU_FLASH_ATTN_PACKED", "interpret")
+    monkeypatch.setenv("CAT_TPU_FLASH_ATTN_BAND", "interpret")
+    out = mod.apply(params, x, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_band_sharded_matches_single():
+    """custom_partitioning rule for the band kernels: batch-sharded
+    q/k/v over the 8-device CPU mesh matches unsharded, fwd + grads."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    N, T, H, Dh, D = 8, 40, 2, 32, 64
+    q, k, v, w, u, vb, kmask = _w_inputs(N, T, H, Dh, D, seed=13)
+    F = H * Dh
+    wt = jnp.asarray(
+        np.random.default_rng(7).standard_normal((N, T, F)),
+        jnp.float32)
+    qp, kp, vp = (a.reshape(N, T, F) for a in (q, k, v))
+
+    def loss(q, k, v, rest):
+        w, u, vb = rest
+        out = flash_relpos_attention_band(
+            q, k, v, w, u, vb, kmask, interpret=True)
+        return jnp.sum(out * wt)
+
+    rest = (w, u, vb)
+    g_ref = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+        qp, kp, vp, rest)
+    mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+    sh = NamedSharding(mesh, P("data", None, None))
+    qs, ks, vs = (jax.device_put(a, sh) for a in (qp, kp, vp))
+    g_sh = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))(
+        qs, ks, vs, rest)
+    flat_r = jax.tree_util.tree_leaves(g_ref)
+    flat_s = jax.tree_util.tree_leaves(g_sh)
+    for i, (gr, gk) in enumerate(zip(flat_r, flat_s)):
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gr),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"leaf{i}")
