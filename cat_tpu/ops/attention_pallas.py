@@ -50,8 +50,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e30
 # raise the scoped-VMEM cap past the 16 MB compiler default (empirically
-# fine on this part; lets larger NB blocks and deeper pipelining compile)
-VMEM_LIMIT = 64 * 1024 * 1024
+# fine on this part; lets larger NB blocks and deeper pipelining
+# compile). Env-overridable for block-size experiments (v5e has 128 MB
+# physical VMEM; the 64 MB default leaves room for double-buffering).
+import os as _os
+# round-5: 96 MB default — NB=8 blocks for both kernel directions need
+# ~82 MB scoped and measure 3112 → 3181 audio-s/s at the flagship
+# (the earlier 64 MB cap was the only thing forcing NB=4)
+VMEM_LIMIT = int(_os.environ.get("CAT_TPU_ATTN_VMEM",
+                                 str(96 * 1024 * 1024)))
 
 
 def _round_up(x, m):
@@ -836,12 +843,14 @@ def _pick_nb_packed(N, Tp, F, D, bwd=False):
         return max(1, nb)
     # per-item f32 live set ~ (b,b)·(2 or 4) + (b,D)·(1.5 or 2.5),
     # plus the packed q/k/v/o (do/dq/dk/dv in bwd) bf16 block tiles.
-    # bwd budget 32 MB → NB=4 at the flagship shape: measured 2841 vs
-    # 2817 audio-s/s at NB=2 (NB=8 fwd + BR=512 FF both OOM/crash)
+    # Budget scales with the scoped-VMEM cap: at the round-5 default
+    # (96 MB) both directions pick NB=8 at the flagship shape —
+    # measured 3112 → 3181 audio-s/s (the old 64 MB cap forced NB=4;
+    # raising the cap was the whole win)
     per = ((4 * Tp * Tp + 2.5 * Tp * D if bwd
             else 2 * Tp * Tp + 1.5 * Tp * D) * 4
            + (8 if bwd else 4) * Tp * F * 2)
-    budget = 32 * 2 ** 20 if bwd else 24 * 2 ** 20
+    budget = VMEM_LIMIT // 2 + 8 * 2 ** 20
     nb = 8
     while nb > 1 and (N % nb or nb * per > budget):
         nb //= 2
