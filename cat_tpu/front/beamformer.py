@@ -149,6 +149,15 @@ class BeamformerNet(nn.Module):
     wpe_taps: int = 5
     wpe_delay: int = 3
     wpe_iterations: int = 1
+    # Kaldi-feature variant knobs (cat/ctc/train_me2e_kaldi.py:116-151):
+    # kaldi_framing applies per-frame DC-offset removal + pre-emphasis
+    # before windowing (Feature_Trans / torchaudio kaldi compliance,
+    # cat/front/kaldifbank.py:192-225, dither=0), matching
+    # ops/fbank.log_fbank exactly; no_enhance is the reference's `noSE`
+    # ChannelSelector mode (cat/front/multi2mono.py) — bypass the mask
+    # net + beamformer and take the reference channel as-is.
+    kaldi_framing: bool = False
+    no_enhance: bool = False
 
     def __call__(self, wave, wave_lengths, deterministic=True):
         spec, frame_lengths = self.spectrum(wave, wave_lengths)
@@ -165,6 +174,11 @@ class BeamformerNet(nn.Module):
         idx = (jnp.arange(T)[:, None] * self.frame_shift
                + jnp.arange(self.frame_length)[None, :])
         frames = wave[..., idx]
+        if self.kaldi_framing:
+            frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+            pre = jnp.concatenate(
+                [frames[..., :1], frames[..., :-1]], axis=-1)
+            frames = frames - 0.97 * pre
         win = jnp.asarray(povey_window(self.frame_length))
         spec = jnp.fft.rfft(frames * win, n=self.fft_size, axis=-1)
         flens = 1 + (wave_lengths - self.frame_length) \
@@ -178,6 +192,13 @@ class BeamformerNet(nn.Module):
         Separated from __call__ so the chunked ME2E trainer
         (ctc/train_me2e_chunk.py) can beamform context windows
         directly in the STFT domain (train_me2e_chunk.py:64-160)."""
+        if self.no_enhance:
+            # noSE / ChannelSelector: no mask net, no beamformer params
+            bf = spec[:, self.ref_channel]             # (N, T, F)
+            power = jnp.abs(bf) ** 2
+            feats = LogMel(self.num_bins, self.fft_size,
+                           self.sample_rate)(power)
+            return feats, frame_lengths
         if self.use_wpe:
             from cat_tpu.front.wpe import DnnWpe, wpe
 

@@ -532,9 +532,19 @@ class P2gTask:
             for n in range(N)]
 
 
+class Me2eKaldiTask(Me2eTask):
+    bin = "cat_tpu.ctc.train_me2e_kaldi"
+
+
+class Me2eKaldiChunkTask(Me2eChunkTask):
+    bin = "cat_tpu.ctc.train_me2e_kaldi_chunk"
+
+
 _TASKS = {
     "cat_tpu.ctc.train_me2e": Me2eTask,
     "cat_tpu.ctc.train_me2e_chunk": Me2eChunkTask,
+    "cat_tpu.ctc.train_me2e_kaldi": Me2eKaldiTask,
+    "cat_tpu.ctc.train_me2e_kaldi_chunk": Me2eKaldiChunkTask,
     "cat_tpu.ctc.train_jsa": JsaTask,
     "cat_tpu.p2g.train": P2gTask,
 }

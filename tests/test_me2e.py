@@ -118,3 +118,71 @@ def test_weighted_concat_through_bucketed_loader(tmp_path):
             if w[j] > 0:
                 seen.append(uid)
     assert seen and all(u.startswith("a") for u in seen), seen[:5]
+
+
+def test_me2e_kaldi_framing_matches_log_fbank():
+    """kaldi_framing + no_enhance on 1 channel == ops/fbank.log_fbank.
+
+    The kaldi variant's feature chain (cat/ctc/train_me2e_kaldi.py:
+    Feature_Trans with dither=0 + ChannelSelector) must reduce to the
+    offline kaldi fbank when no enhancement is applied."""
+    from cat_tpu.front.beamformer import BeamformerNet
+    from cat_tpu.ops.fbank import log_fbank
+
+    rng = np.random.default_rng(1)
+    N, L = 2, 2000
+    wave = rng.standard_normal((N, L)).astype(np.float32)
+    net = BeamformerNet(num_bins=23, sample_rate=8000, frame_length=200,
+                        frame_shift=80, fft_size=256,
+                        kaldi_framing=True, no_enhance=True)
+    vars_ = net.init(jax.random.PRNGKey(0), wave[:, None, :],
+                     jnp.full((N,), L, jnp.int32))
+    assert not vars_.get("params"), "noSE path must be parameter-free"
+    feats, flens = net.apply(vars_, wave[:, None, :],
+                             jnp.full((N,), L, jnp.int32))
+    ref = log_fbank(jnp.asarray(wave), num_bins=23, sample_rate=8000,
+                    frame_length=200, frame_shift=80, fft_size=256)
+    np.testing.assert_allclose(np.asarray(feats), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    assert int(flens[0]) == ref.shape[1]
+
+
+def test_me2e_kaldi_trainer_builds_and_steps():
+    """train_me2e_kaldi: kaldi framing default-on, noSE honored, one
+    train step runs with finite loss and grads reach the beamformer."""
+    from cat_tpu.ctc import train_me2e_kaldi
+
+    cfg = {
+        "frontend": {"kwargs": {"num_bins": 20, "sample_rate": 8000,
+                                "frame_length": 200, "frame_shift": 80,
+                                "fft_size": 256, "mask_hidden": 8}},
+        "encoder": {"type": "LSTM",
+                    "kwargs": {"hdim": 16, "num_layers": 1,
+                               "bidirectional": True,
+                               "dropout_rate": 0.0}},
+    }
+    model = train_me2e_kaldi.build_model(cfg, num_classes=4)
+    assert model.frontend.kaldi_framing
+    _, tx = build_scheduler({
+        "type": "SchedulerFixedStop", "kwargs": {"stop_step": 100000},
+        "optimizer": {"type": "Adam", "kwargs": {"lr": 1e-3}}})
+    state = train_me2e_kaldi.init_state(model, tx, num_channels=2,
+                                        num_samples=1600)
+    rng = np.random.default_rng(2)
+    batch = dict(
+        feats=jnp.asarray(rng.standard_normal((2, 2, 1600)),
+                          jnp.float32),
+        feat_lengths=jnp.full((2,), 1600, jnp.int32),
+        labels=jnp.asarray([[1, 2], [3, 0]], jnp.int32),
+        label_lengths=jnp.asarray([2, 1], jnp.int32),
+        weight=jnp.ones((2,), jnp.float32))
+    step = train_me2e_kaldi.make_train_step(model, tx)
+    state, m = step(state, batch, jnp.float32(1e-3),
+                    jax.random.PRNGKey(0))
+    assert np.isfinite(float(m["loss"]))
+
+    # noSE spelled the reference way builds the parameter-free frontend
+    cfg2 = {**cfg, "frontend": {"kwargs": {
+        **cfg["frontend"]["kwargs"], "noSE": True}}}
+    m2 = train_me2e_kaldi.build_model(cfg2, num_classes=4)
+    assert m2.frontend.no_enhance
