@@ -276,7 +276,28 @@ def _forward(log_probs, input_lengths, expw, final, K):
     return snaps, (ain_T, abl_T), logz
 
 
+def _use_pallas_den():
+    """Route the den forward through the fused Pallas kernel (perf.
+    fused_den = "1", env override CAT_TPU_FUSED_DEN; interpret mode off
+    TPU). Falls back to the XLA scan under an active mesh — the kernel
+    has no custom_partitioning rules yet."""
+    from cat_tpu.utils import flags
+    from cat_tpu.ops.partitioning import use_partitioned
+
+    v = flags.resolve("fused_den")
+    if not v or v == "0":
+        return False
+    return not use_partitioned()
+
+
 def _den_impl(log_probs, input_lengths, den: DenseDen):
+    if _use_pallas_den():
+        from cat_tpu.ops.crf_dense_pallas import dense_den_forward_pallas
+
+        snaps, logz = dense_den_forward_pallas(
+            log_probs, input_lengths, den,
+            interpret=jax.default_backend() != "tpu")
+        return logz, (snaps, logz)
     expw, final = den.device_tables()
     K = den.ckpt_every
     snaps, lasts, logz = _forward(log_probs, input_lengths, expw, final,

@@ -43,6 +43,10 @@ _DEFAULTS = {
     # fused conv-module entry/exit stages around the XLA depthwise conv
     # + batch stats (ops/conv_module_pallas.py)
     "fused_conv_mod": "auto",
+    # fused dense-den forward (whole alpha recursion in VMEM,
+    # ops/crf_dense_pallas.py); backward stays in XLA. Off until the
+    # on-chip A/B lands; single-chip only (no partitioning rules).
+    "fused_den": "",
     # route fused ops through their custom_partitioning wrappers:
     # "" = auto (ambient mesh if any, else device_count>1), "0"/"1"
     # force off/on (ops/partitioning.py use_partitioned)
