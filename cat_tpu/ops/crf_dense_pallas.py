@@ -45,10 +45,12 @@ compute — the XLA scan in isolation is already within ~2.6x of this
 kernel's own VMEM-resident floor, so the den lever is far smaller than
 the round-4 ranking claimed; (2) Mosaic DOES accept leading-batch
 dot_general (the formulation here), so the "batch dims must be equal"
-blocker recorded in round 5's first half is closed — any future den
-work should start from this kernel with a bf16 contraction
-(CAT_TPU_DEN_BF16=1, ~0.1 nat logZ noise) rather than from the XLA
-scan.
+blocker recorded in round 5's first half is closed. A bf16 emission
+contraction (CAT_TPU_DEN_BF16=1) measured NEUTRAL (27.0 vs 27.3
+us/frame) — the matmul is not the kernel's bottleneck; the per-frame
+(V, 2N, V) transpose and the elementwise chain are. Any future attempt
+must eliminate the transpose (e.g. a layout where emit output lands
+state-major) before anything else.
 """
 from __future__ import annotations
 
